@@ -1,0 +1,58 @@
+"""Batched SDDMM and batched transpose utilities.
+
+Reference counterparts: ``sddmm_gpu_batch`` (include/sddmmKernel.cuh:41-47,
+src/sddmmKernel.cu:2764-2850 — batched dense/sparse kernels with grid.z as
+the batch axis) and ``batchedMatrixTranspose`` (:2486-2515, :2852-2869).
+On TPU the batch axis is a ``jax.vmap`` over the same single-instance
+paths; XLA batches the gathers and matmuls natively.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sddmm_tpu.data.sparse import CSR
+from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
+from sddmm_tpu.ops.hybrid import HybridSDDMM
+
+
+_batched_csr_sddmm_jit = jax.jit(
+    jax.vmap(csr_sddmm_jax, in_axes=(0, 0, None, None)))
+
+
+def batched_csr_sddmm(a_batch, b_batch, s: CSR) -> np.ndarray:
+    """(B, M, K) x (B, K, N) -> (B, nnz) values at the shared pattern of S."""
+    rows = jnp.asarray(s.row_indices(), dtype=jnp.int32)
+    cols = jnp.asarray(s.col_idx, dtype=jnp.int32)
+    a_batch = jnp.asarray(a_batch)
+    bt_batch = jnp.asarray(np.ascontiguousarray(
+        np.swapaxes(np.asarray(b_batch), 1, 2)))
+    return np.asarray(_batched_csr_sddmm_jit(a_batch, bt_batch, rows, cols))
+
+
+class BatchedHybridSDDMM:
+    """vmap of the hybrid path over a batch of (A, B) operand pairs sharing
+    one sparsity pattern (the reference's batch mode semantics)."""
+
+    def __init__(self, runner: HybridSDDMM):
+        self._runner = runner
+        self._fn = jax.jit(jax.vmap(runner.run_padded))
+
+    def __call__(self, a_batch, b_batch):
+        a_batch = np.asarray(a_batch)
+        bt_batch = np.swapaxes(np.asarray(b_batch), 1, 2)
+        bsz, m, k = a_batch.shape
+        a_pad = np.concatenate(
+            [a_batch, np.zeros((bsz, 1, k), a_batch.dtype)], axis=1)
+        bt_pad = np.concatenate(
+            [bt_batch, np.zeros((bsz, 1, k), bt_batch.dtype)], axis=1)
+        return np.asarray(self._fn(jnp.asarray(a_pad), jnp.asarray(bt_pad)))
+
+
+@jax.jit
+def batched_transpose(x: jax.Array) -> jax.Array:
+    """(B, M, N) -> (B, N, M).  XLA emits the tiled transpose directly
+    (the reference hand-writes a 32x32 shared-memory transpose kernel)."""
+    return jnp.swapaxes(x, -1, -2)

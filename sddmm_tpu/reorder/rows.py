@@ -1,0 +1,274 @@
+"""BSMR row reordering: similarity-driven clustering of rows.
+
+Reference: src/rowReordering.cu (bsa_rowReordering_gpu, :1027-1095).
+Pipeline semantics reproduced here:
+
+1. Per-row *encoding*: histogram of the row's nnz over fixed-width column
+   blocks (``col_block_size``, chosen from a memory budget, min 16 —
+   reference calculateBlockSize :1009-1025, calculateDispersion :49-93).
+2. Per-row *dispersion* score:
+   ``sum_over_occupied_blocks(block_size - count) + nnz * num_occupied``.
+3. Rows sorted ascending by dispersion; greedy leader clustering in that
+   order: a row joins the earliest cluster whose *representative* encoding
+   has normalized-weighted-Jaccard similarity > alpha, and the raw row
+   encoding is accumulated into that representative
+   (bsa_clustering :325-432).  Similarity of encodings x, y:
+   ``sum(min(x/|x|, y/|y|)) / sum(max(x/|x|, y/|y|))`` with the
+   zero-vector conventions of the reference (:235-293).
+4. Final order: stable sort by cluster id (cluster creation order), empty
+   rows dropped (:1081-1090).
+
+The reference executes step 3 with CUDA dynamic parallelism and per-row
+spin locks; the pipelined lock chain makes it *exactly equivalent* to the
+sequential greedy loop, which is what ``method="greedy"`` implements
+(vectorized over clusters).  ``method="batched"`` is a data-parallel
+multi-leader approximation for very large matrices: per round, L seed rows
+are taken in dispersion order, deduplicated against each other by the same
+similarity threshold, and every unclustered row joins the earliest
+accepting seed (representatives are seed-only within a round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from sddmm_tpu import config
+from sddmm_tpu.data.sparse import CSR
+
+
+@dataclasses.dataclass
+class RowReorderResult:
+    reordered_rows: np.ndarray   # (num_kept,) original row ids, empty rows dropped
+    cluster_ids: np.ndarray      # (m,) cluster id per original row (0 = empty)
+    num_clusters: int            # number of non-empty clusters
+    dispersions: np.ndarray      # (m,) dispersion score per original row
+    col_block_size: int
+
+
+def choose_col_block_size(n: int, m: int,
+                          budget_bytes: int = 1 << 30) -> int:
+    """Pick the encoding block width so the (m x num_blocks) encoding
+    matrix fits a memory budget; minimum 16 (reference
+    rowReordering.cu:1009-1025 uses free GMEM/SMEM the same way)."""
+    if m == 0 or n == 0:
+        return 16
+    max_blocks = max(1, budget_bytes // (4 * m))
+    bs = 16
+    while (n + bs - 1) // bs > max_blocks:
+        bs *= 2
+    return bs
+
+
+def row_encodings(csr: CSR, col_block_size: int):
+    """Sparse per-row encodings: (row, block) -> nnz count.
+
+    Returns (block_ptr, block_idx, block_cnt): CSR-like arrays over the
+    *occupied blocks* of each row, plus num_blocks.
+    """
+    num_blocks = (csr.n + col_block_size - 1) // col_block_size
+    rows = csr.row_indices().astype(np.int64)
+    blocks = (csr.col_idx.astype(np.int64) // col_block_size)
+    # Unique (row, block) pairs with counts; lexsorted by (row, block).
+    keys = rows * num_blocks + blocks
+    uniq, cnt = np.unique(keys, return_counts=True)
+    urow = uniq // num_blocks
+    ublk = (uniq % num_blocks).astype(np.int32)
+    block_ptr = np.zeros(csr.m + 1, dtype=np.int64)
+    np.add.at(block_ptr, urow + 1, 1)
+    block_ptr = np.cumsum(block_ptr)
+    return block_ptr, ublk, cnt.astype(np.int64), num_blocks
+
+
+def dispersion_scores(csr: CSR, block_ptr, block_cnt,
+                      col_block_size: int) -> np.ndarray:
+    """dispersion = sum_occ(block_size - cnt) + nnz * num_occupied."""
+    m = csr.m
+    occ = np.diff(block_ptr)
+    nnz = csr.row_nnz()
+    sum_cnt_per_row = np.zeros(m, dtype=np.int64)
+    # segment sum of counts per row
+    np.add.at(sum_cnt_per_row,
+              np.repeat(np.arange(m), occ.astype(np.int64)), block_cnt)
+    return (occ * col_block_size - sum_cnt_per_row) + nnz * occ
+
+
+def _greedy_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
+                    alpha: float, grow: int = 256):
+    """Exact reference-equivalent greedy clustering, vectorized over the
+    existing clusters for each row.  Returns (m,) cluster ids (1-based; 0
+    unused here) indexed by original row, for the rows in ``order``."""
+    num_rows_total = block_ptr.shape[0] - 1
+    cluster_of = np.full(num_rows_total, -1, dtype=np.int64)
+    # Growing dense representative matrix (C x B) and its norms/sums.
+    reps = np.zeros((grow, num_blocks), dtype=np.float64)
+    rep_norm_sq = np.zeros(grow, dtype=np.float64)   # sum of squares
+    rep_sum = np.zeros(grow, dtype=np.float64)       # plain sum
+    num_clusters = 0
+
+    for row in order:
+        s, e = block_ptr[row], block_ptr[row + 1]
+        supp = block_idx[s:e].astype(np.int64)
+        vals = block_cnt[s:e].astype(np.float64)
+        row_norm = np.sqrt(np.sum(vals * vals))
+        row_hat = vals / row_norm
+        row_hat_sum = row_hat.sum()
+        assigned = -1
+        if num_clusters:
+            # normalized reps restricted to the row's support
+            norms = np.sqrt(rep_norm_sq[:num_clusters])
+            rsub = reps[:num_clusters][:, supp] / norms[:, None]
+            min_sum = np.minimum(rsub, row_hat[None, :]).sum(axis=1)
+            max_sum = (rep_sum[:num_clusters] / norms) + row_hat_sum - min_sum
+            sims = min_sum / max_sum
+            hits = np.nonzero(sims > alpha)[0]
+            if len(hits):
+                assigned = int(hits[0])
+        if assigned < 0:
+            if num_clusters == reps.shape[0]:
+                reps = np.vstack(
+                    [reps, np.zeros((reps.shape[0], num_blocks))])
+                rep_norm_sq = np.concatenate(
+                    [rep_norm_sq, np.zeros(rep_norm_sq.shape[0])])
+                rep_sum = np.concatenate(
+                    [rep_sum, np.zeros(rep_sum.shape[0])])
+            assigned = num_clusters
+            num_clusters += 1
+        cluster_of[row] = assigned
+        # rep += raw row encoding; update cached norm^2 and sum.
+        old = reps[assigned, supp]
+        reps[assigned, supp] = old + vals
+        rep_norm_sq[assigned] += np.sum((old + vals) ** 2 - old ** 2)
+        rep_sum[assigned] += vals.sum()
+    return cluster_of, num_clusters
+
+
+def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
+                     alpha: float, leaders_per_round: int = 32,
+                     max_rounds: Optional[int] = None):
+    """Multi-leader data-parallel approximation (see module docstring)."""
+    num_rows_total = block_ptr.shape[0] - 1
+    cluster_of = np.full(num_rows_total, -1, dtype=np.int64)
+    # Precompute normalized encodings per row (CSR layout over blocks).
+    occ = np.diff(block_ptr)
+    row_of_entry = np.repeat(np.arange(num_rows_total), occ.astype(np.int64))
+    cnt = block_cnt.astype(np.float64)
+    norm_sq = np.zeros(num_rows_total, dtype=np.float64)
+    np.add.at(norm_sq, row_of_entry, cnt * cnt)
+    norms = np.sqrt(np.maximum(norm_sq, 1e-300))
+    hat = cnt / norms[row_of_entry]
+    hat_sum = np.zeros(num_rows_total, dtype=np.float64)
+    np.add.at(hat_sum, row_of_entry, hat)
+
+    remaining = list(order)
+    remaining_mask = np.zeros(num_rows_total, dtype=bool)
+    remaining_mask[order] = True
+    pos_in_order = np.full(num_rows_total, -1, dtype=np.int64)
+    pos_in_order[order] = np.arange(len(order))
+
+    num_clusters = 0
+    rounds = 0
+    order_arr = np.asarray(order)
+    while remaining_mask.any():
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            # Leftovers become singleton clusters in dispersion order.
+            for row in order_arr[remaining_mask[order_arr]]:
+                cluster_of[row] = num_clusters
+                num_clusters += 1
+            break
+        live = order_arr[remaining_mask[order_arr]]
+        leaders = live[:leaders_per_round]
+        # Deduplicate leaders against earlier accepted leaders (seed-only).
+        accepted = []
+        leader_dense = np.zeros((0, num_blocks))
+        for row in leaders:
+            s, e = block_ptr[row], block_ptr[row + 1]
+            supp, vals = block_idx[s:e].astype(np.int64), hat[s:e]
+            if accepted:
+                min_sum = np.minimum(
+                    leader_dense[:, supp], vals[None, :]).sum(axis=1)
+                max_sum = (hat_sum[accepted] + hat_sum[row] - min_sum)
+                if np.any(min_sum / max_sum > alpha):
+                    first = int(np.nonzero(min_sum / max_sum > alpha)[0][0])
+                    cluster_of[row] = num_clusters + first
+                    remaining_mask[row] = False
+                    continue
+            dense = np.zeros(num_blocks)
+            dense[supp] = vals
+            leader_dense = np.vstack([leader_dense, dense[None, :]])
+            accepted.append(row)
+            cluster_of[row] = num_clusters + len(accepted) - 1
+            remaining_mask[row] = False
+        # Assign every remaining row to the earliest accepting leader.
+        live = order_arr[remaining_mask[order_arr]]
+        if len(live) and len(accepted):
+            # sims (num_live x num_leaders) via support-restricted mins.
+            sims = np.zeros((len(live), len(accepted)))
+            for li, row in enumerate(live):
+                s, e = block_ptr[row], block_ptr[row + 1]
+                supp, vals = block_idx[s:e].astype(np.int64), hat[s:e]
+                min_sum = np.minimum(
+                    leader_dense[:, supp], vals[None, :]).sum(axis=1)
+                max_sum = hat_sum[accepted] + hat_sum[row] - min_sum
+                sims[li] = min_sum / max_sum
+            hit = sims > alpha
+            has = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            for li in np.nonzero(has)[0]:
+                row = live[li]
+                cluster_of[row] = num_clusters + first[li]
+                remaining_mask[row] = False
+        num_clusters += len(accepted)
+    return cluster_of, num_clusters
+
+
+def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
+                   method: str = "auto",
+                   col_block_size: Optional[int] = None,
+                   budget_bytes: int = 1 << 30) -> RowReorderResult:
+    """Full BSMR row reordering pipeline."""
+    m = csr.m
+    if col_block_size is None:
+        col_block_size = choose_col_block_size(csr.n, m, budget_bytes)
+    block_ptr, block_idx, block_cnt, num_blocks = row_encodings(
+        csr, col_block_size)
+    disp = dispersion_scores(csr, block_ptr, block_cnt, col_block_size)
+
+    nonempty = np.nonzero(disp > 0)[0]
+    # Ascending stable sort by dispersion (reference :1060-1062).
+    order = nonempty[np.argsort(disp[nonempty], kind="stable")]
+
+    if method == "auto":
+        method = "greedy" if len(order) <= 100_000 else "batched"
+    if method == "greedy":
+        cluster_of, num_clusters = _greedy_cluster(
+            order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
+    elif method == "batched":
+        cluster_of, num_clusters = _batched_cluster(
+            order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
+    elif method == "none":
+        # no clustering: identity order over non-empty rows
+        cluster_of = np.full(m, -1, dtype=np.int64)
+        cluster_of[order] = 0
+        num_clusters = 1 if len(order) else 0
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    # Stable sort the dispersion-ordered rows by cluster id.
+    cl = cluster_of[order]
+    reordered = order[np.argsort(cl, kind="stable")]
+
+    # Public cluster ids: 0 reserved for empty rows (reference cluster 0).
+    cluster_ids = np.zeros(m, dtype=np.int64)
+    cluster_ids[cluster_of >= 0] = cluster_of[cluster_of >= 0] + 1
+
+    return RowReorderResult(
+        reordered_rows=reordered.astype(np.int64),
+        cluster_ids=cluster_ids,
+        num_clusters=int(num_clusters),
+        dispersions=disp,
+        col_block_size=int(col_block_size),
+    )

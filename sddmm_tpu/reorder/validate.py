@@ -1,0 +1,112 @@
+"""Structural invariant checkers for the reordering/packing pipeline.
+
+Reference: the VALIDATE-gated checkers in src/BSMR.cpp —
+check_rowReordering (:444-486), check_colReordering (:488-637),
+check_rphm (:639-824).  Raise AssertionError on violation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sddmm_tpu import config
+from sddmm_tpu.data.sparse import CSR
+from sddmm_tpu.reorder.bsmr import BSMR
+from sddmm_tpu.reorder.pack import PackedMatrix
+
+
+def check_row_reordering(csr: CSR, bsmr: BSMR) -> None:
+    """reordered_rows is a permutation of exactly the non-empty rows."""
+    rr = bsmr.reordered_rows
+    nonempty = np.nonzero(csr.row_nnz() > 0)[0]
+    assert len(rr) == len(nonempty), \
+        f"row count mismatch: {len(rr)} vs {len(nonempty)} non-empty"
+    assert len(np.unique(rr)) == len(rr), "duplicate rows in reordering"
+    assert np.array_equal(np.sort(rr), nonempty), \
+        "reordered rows are not exactly the non-empty rows"
+    # cluster ids grouped: rows appear in non-decreasing cluster order.
+    cl = bsmr.cluster_ids[rr]
+    assert np.all(np.diff(cl) >= 0), "rows not grouped by cluster"
+
+
+def check_col_reordering(csr: CSR, bsmr: BSMR) -> None:
+    panel_sz = config.ROW_PANEL_SIZE
+    bcol = config.BLOCK_COL_SIZE
+    n = csr.n
+    threshold = int(math.ceil(bsmr.delta * config.BLOCK_SIZE))
+    for p in range(bsmr.num_row_panels):
+        rows = bsmr.reordered_rows[p * panel_sz:(p + 1) * panel_sz]
+        cols = np.concatenate(
+            [csr.col_idx[csr.row_ptr[r]:csr.row_ptr[r + 1]] for r in rows]
+        ) if len(rows) else np.zeros(0, dtype=np.int64)
+        uniq, counts = np.unique(cols, return_counts=True)
+        count_of = dict(zip(uniq.tolist(), counts.tolist()))
+
+        dc = bsmr.dense_cols[bsmr.dense_col_offsets[p]:
+                             bsmr.dense_col_offsets[p + 1]]
+        sc = bsmr.sparse_cols[bsmr.sparse_col_offsets[p]:
+                              bsmr.sparse_col_offsets[p + 1]]
+        assert len(dc) % bcol == 0, "dense cols not multiple of 16"
+        dc_real = dc[dc != n]
+        # no duplicates, dense/sparse disjoint
+        assert len(np.unique(dc_real)) == len(dc_real), "dup dense col"
+        assert len(np.unique(sc)) == len(sc), "dup sparse col"
+        assert not set(dc_real.tolist()) & set(sc.tolist()), \
+            "dense and sparse column sets overlap"
+        # union covers exactly the panel's nonzero columns
+        assert set(dc_real.tolist()) | set(sc.tolist()) == set(uniq.tolist()), \
+            "dense+sparse != panel nonzero columns"
+        # dense order is descending nnz count
+        dcnt = np.array([count_of.get(int(c), 0) for c in dc])
+        assert np.all(np.diff(dcnt) <= 0), "dense cols not descending by nnz"
+        # every dense 16-group meets the density threshold
+        if len(dc):
+            gsum = dcnt.reshape(-1, bcol).sum(axis=1)
+            assert np.all(gsum >= threshold), \
+                f"dense group below threshold {threshold}: {gsum}"
+        # sparse data count matches offsets
+        scnt = sum(count_of.get(int(c), 0) for c in sc)
+        assert scnt == (bsmr.sparse_data_offsets[p + 1]
+                        - bsmr.sparse_data_offsets[p]), \
+            "sparse data offset mismatch"
+
+
+def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
+    """Every CSR index appears exactly once across dense tiles + residual,
+    at coordinates consistent with (reordered row, packed column)."""
+    panel_sz = config.ROW_PANEL_SIZE
+    bcol = config.BLOCK_COL_SIZE
+    flat = packed.block_csr.reshape(-1)
+    dense_idx = flat[flat >= 0]
+    all_idx = np.concatenate([dense_idx, packed.res_csr])
+    assert len(all_idx) == csr.nnz, \
+        f"packed nnz {len(all_idx)} != {csr.nnz}"
+    assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
+
+    # Coordinate consistency of dense tiles.
+    rows_of = csr.row_indices()
+    nb = packed.num_blocks
+    b_ids, r_loc, c_loc = np.nonzero(packed.block_csr >= 0)
+    csr_ids = packed.block_csr[b_ids, r_loc, c_loc]
+    expect_row = packed.a_row_gather[
+        packed.block_panel[b_ids].astype(np.int64) * panel_sz + r_loc]
+    assert np.array_equal(rows_of[csr_ids], expect_row), \
+        "dense tile row coordinate mismatch"
+    expect_col = packed.block_cols[b_ids, c_loc]
+    assert np.array_equal(csr.col_idx[csr_ids], expect_col), \
+        "dense tile col coordinate mismatch"
+
+    # Residual consistency.
+    assert np.array_equal(rows_of[packed.res_csr], packed.res_rows), \
+        "residual row mismatch"
+    assert np.array_equal(csr.col_idx[packed.res_csr], packed.res_cols), \
+        "residual col mismatch"
+
+    # inv_idx round-trip: scattering arange through the packed layout and
+    # gathering back must be the identity.
+    probe = np.arange(csr.nnz)
+    flat_vals = np.zeros(nb * config.BLOCK_SIZE + packed.nnz_res)
+    flat_vals[packed.inv_idx] = probe
+    assert np.array_equal(flat_vals[packed.inv_idx], probe)

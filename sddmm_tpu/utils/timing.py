@@ -1,0 +1,65 @@
+"""Timing utilities — the TPU equivalent of CudaTimeCalculator
+(include/CudaTimeCalculator.cuh): wall-clock around ``block_until_ready``
+with warmup iterations so compile time is excluded."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+
+class Timer:
+    """Simple start/stop wall timer returning milliseconds."""
+
+    def __init__(self):
+        self._start = None
+        self._elapsed_ms = 0.0
+
+    def start(self):
+        self._start = time.perf_counter()
+        return self
+
+    def stop(self) -> float:
+        self._elapsed_ms = (time.perf_counter() - self._start) * 1e3
+        return self._elapsed_ms
+
+    @property
+    def ms(self) -> float:
+        return self._elapsed_ms
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
+
+
+def _block(out):
+    return jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, out)
+
+
+def time_jax_fn(fn: Callable, *args, iterations: int = 10,
+                warmup: int = 2) -> tuple[float, object]:
+    """Average wall time (ms) of ``fn(*args)`` over ``iterations`` after
+    ``warmup`` runs (reference averages over numIterations=10,
+    src/sddmmKernel.cu:2565,2653)."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = _block(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        out = _block(fn(*args))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3 / iterations
+    return elapsed_ms, out
+
+
+def gflops(nnz: int, k: int, time_ms: float) -> float:
+    """GFLOPS = 2*NNZ*K / time (reference include/Logger.hpp:178-180)."""
+    if time_ms <= 0:
+        return 0.0
+    return 2.0 * nnz * k / (time_ms * 1e6)

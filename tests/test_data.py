@@ -1,0 +1,131 @@
+"""Data layer: containers, IO round-trips, generators, validation."""
+
+import numpy as np
+import pytest
+
+from sddmm_tpu.data import generate, io
+from sddmm_tpu.data.sparse import COO, CSR
+
+
+def test_coo_csr_roundtrip():
+    coo = COO((4, 5), [2, 0, 1, 2], [3, 1, 4, 0], [1.0, 2.0, 3.0, 4.0])
+    csr = coo.to_csr()
+    assert csr.nnz == 4
+    assert np.array_equal(csr.row_ptr, [0, 1, 2, 4, 4])
+    dense = csr.to_dense()
+    assert dense[2, 3] == 1.0 and dense[0, 1] == 2.0
+    back = csr.to_coo()
+    assert np.array_equal(back.to_dense(), dense)
+
+
+def test_coo_validate_rejects_duplicates():
+    coo = COO((3, 3), [0, 0], [1, 1], [1.0, 2.0])
+    with pytest.raises(ValueError, match="duplicate"):
+        coo.validate()
+
+
+def test_coo_validate_rejects_out_of_bounds():
+    coo = COO((3, 3), [0, 5], [1, 1], [1.0, 2.0])
+    with pytest.raises(ValueError, match="out of bounds"):
+        coo.validate()
+
+
+def test_csr_row_indices(small_random_csr):
+    csr = small_random_csr
+    rows = csr.row_indices()
+    assert len(rows) == csr.nnz
+    # Row indices are non-decreasing and match row_ptr counts.
+    assert np.all(np.diff(rows) >= 0)
+    counts = np.bincount(rows, minlength=csr.m)
+    assert np.array_equal(counts, np.diff(csr.row_ptr))
+
+
+def test_mtx_roundtrip(tmp_path, small_random_csr):
+    path = tmp_path / "x.mtx"
+    io.save_mtx(path, small_random_csr)
+    back = io.load(path)
+    assert back.shape == small_random_csr.shape
+    assert back.nnz == small_random_csr.nnz
+    np.testing.assert_allclose(back.to_dense(), small_random_csr.to_dense(),
+                               rtol=1e-6)
+
+
+def test_mtx_symmetric(tmp_path):
+    path = tmp_path / "sym.mtx"
+    path.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% comment\n"
+        "3 3 3\n"
+        "1 1 5.0\n"
+        "2 1 2.0\n"
+        "3 2 7.0\n")
+    csr = io.load(path)
+    dense = csr.to_dense()
+    assert dense[0, 0] == 5.0
+    assert dense[1, 0] == 2.0 and dense[0, 1] == 2.0
+    assert dense[2, 1] == 7.0 and dense[1, 2] == 7.0
+    assert csr.nnz == 5
+
+
+def test_mtx_pattern(tmp_path):
+    path = tmp_path / "pat.mtx"
+    path.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n"
+        "1 2\n"
+        "2 1\n")
+    csr = io.load(path)
+    assert csr.nnz == 2
+    assert np.all(csr.values == 1.0)
+
+
+def test_smtx_roundtrip(tmp_path, small_random_csr):
+    path = tmp_path / "x.smtx"
+    io.save_smtx(path, small_random_csr)
+    back = io.load(path)
+    assert back.shape == small_random_csr.shape
+    assert np.array_equal(back.row_ptr, small_random_csr.row_ptr)
+    assert np.array_equal(back.col_idx, small_random_csr.col_idx)
+    assert np.all(back.values == 1.0)  # smtx is pattern-only
+
+
+def test_snap_loader(tmp_path):
+    path = tmp_path / "g.txt"
+    path.write_text(
+        "# Directed graph\n"
+        "# Nodes: 4 Edges: 4\n"
+        "10 20\n"
+        "20 30\n"
+        "10 30\n"
+        "40 10\n")
+    csr = io.load(path)
+    assert csr.shape == (4, 4)
+    assert csr.nnz == 4
+    # first-appearance relabeling: 10->0, 20->1, 30->2, 40->3
+    dense = csr.to_dense()
+    assert dense[0, 1] == 1 and dense[1, 2] == 1
+    assert dense[0, 2] == 1 and dense[3, 0] == 1
+
+
+def test_generators_deterministic():
+    a1 = generate.make_dense(8, 4, seed=11)
+    a2 = generate.make_dense(8, 4, seed=11)
+    assert np.array_equal(a1, a2)
+    assert a1.min() >= 0.0 and a1.max() < 2.0
+    s1 = generate.random_sparse(50, 40, 0.1, seed=5)
+    s2 = generate.random_sparse(50, 40, 0.1, seed=5)
+    assert np.array_equal(s1.col_idx, s2.col_idx)
+    s1.validate()
+
+
+def test_block_clustered_has_structure():
+    csr = generate.block_clustered(10, 10, block_prob=0.3, seed=1)
+    csr.validate()
+    assert csr.nnz > 100
+
+
+def test_powerlaw_graph():
+    csr = generate.powerlaw_graph(300, avg_degree=8, seed=2)
+    csr.validate()
+    assert csr.shape == (300, 300)
+    assert csr.nnz > 300

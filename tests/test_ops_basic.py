@@ -1,0 +1,87 @@
+"""Golden model, pure-JAX CSR SDDMM, SpMM, batched ops, tolerance checker."""
+
+import numpy as np
+
+from sddmm_tpu.data import generate
+from sddmm_tpu.ops import (batched_csr_sddmm, batched_transpose, csr_sddmm,
+                           csr_spmm, sddmm_reference)
+from sddmm_tpu.ops.csr_sddmm import csr_sddmm as csr_sddmm_fn
+from sddmm_tpu.utils.check import check_values
+
+
+def _mats(m=64, n=48, k=16, density=0.1, seed=0):
+    s = generate.random_sparse(m, n, density, seed=seed)
+    a = generate.make_dense(m, k, seed=seed + 1)
+    b = generate.make_dense(k, n, seed=seed + 2)
+    return a, b, s
+
+
+def test_reference_matches_dense_masked():
+    a, b, s = _mats()
+    vals = sddmm_reference(a, b, s)
+    full = a.astype(np.float64) @ b.astype(np.float64)
+    coo = s.to_coo()
+    expect = full[coo.rows, coo.cols]
+    np.testing.assert_allclose(vals, expect, rtol=1e-5)
+
+
+def test_reference_scale_by_values():
+    a, b, s = _mats()
+    vals = sddmm_reference(a, b, s, scale_by_values=True)
+    base = sddmm_reference(a, b, s)
+    np.testing.assert_allclose(vals, base * s.values, rtol=1e-6)
+
+
+def test_csr_sddmm_matches_reference():
+    a, b, s = _mats(m=100, n=80, k=32, density=0.07)
+    got = csr_sddmm(a, b, s)
+    want = sddmm_reference(a, b, s)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_csr_sddmm_blocked_path():
+    a, b, s = _mats(m=128, n=96, k=32, density=0.2, seed=3)
+    got = csr_sddmm_fn(a, b, s, max_gathered_mb=0.05)  # force chunking
+    want = sddmm_reference(a, b, s)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_check_values_detects_errors():
+    expect = np.ones(100)
+    actual = expect.copy()
+    actual[7] = 2.0
+    res = check_values(expect, actual)
+    assert not res.passed
+    assert res.num_errors == 1
+    assert res.first_errors[0][0] == 7
+
+
+def test_spmm_matches_dense():
+    _, _, s = _mats(density=0.1, seed=9)
+    x = generate.make_dense(s.n, 8, seed=10)
+    got = csr_spmm(s, x)
+    want = s.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_batched_csr_sddmm():
+    bsz, m, n, k = 3, 40, 30, 8
+    s = generate.random_sparse(m, n, 0.1, seed=4)
+    rng = np.random.default_rng(5)
+    a = rng.random((bsz, m, k)).astype(np.float32)
+    b = rng.random((bsz, k, n)).astype(np.float32)
+    got = batched_csr_sddmm(a, b, s)
+    assert got.shape == (bsz, s.nnz)
+    for i in range(bsz):
+        want = sddmm_reference(a[i], b[i], s)
+        res = check_values(want, got[i])
+        assert res.passed, f"batch {i}: {res}"
+
+
+def test_batched_transpose():
+    rng = np.random.default_rng(6)
+    x = rng.random((4, 7, 5)).astype(np.float32)
+    got = np.asarray(batched_transpose(x))
+    np.testing.assert_array_equal(got, np.swapaxes(x, 1, 2))

@@ -1,0 +1,148 @@
+"""Reordering pipeline: encodings, dispersion, clustering invariants,
+column split invariants, packing invariants, and end-to-end hybrid
+correctness vs the golden model."""
+
+import numpy as np
+import pytest
+
+from sddmm_tpu import config
+from sddmm_tpu.data import generate
+from sddmm_tpu.data.sparse import COO
+from sddmm_tpu.ops.hybrid import HybridSDDMM, sddmm_hybrid
+from sddmm_tpu.ops.reference import sddmm_reference
+from sddmm_tpu.reorder.bsmr import BSMR, original_matrix_block_stats
+from sddmm_tpu.reorder.pack import pack
+from sddmm_tpu.reorder.rows import (dispersion_scores, row_encodings,
+                                    row_reordering)
+from sddmm_tpu.reorder import validate
+from sddmm_tpu.utils.check import check_values
+
+
+def test_row_encodings_and_dispersion():
+    # 2 rows, 64 cols, block size 16 -> 4 blocks
+    coo = COO((2, 64), [0, 0, 0, 1], [0, 1, 40, 17], np.ones(4))
+    csr = coo.to_csr()
+    block_ptr, block_idx, block_cnt, nb = row_encodings(csr, 16)
+    assert nb == 4
+    # row 0: block 0 count 2, block 2 count 1; row 1: block 1 count 1
+    assert np.array_equal(block_ptr, [0, 2, 3])
+    assert np.array_equal(block_idx, [0, 2, 1])
+    assert np.array_equal(block_cnt, [2, 1, 1])
+    disp = dispersion_scores(csr, block_ptr, block_cnt, 16)
+    # row0: (16-2)+(16-1) + 3*2 = 35 ; row1: (16-1) + 1*1 = 16
+    assert disp[0] == 35 and disp[1] == 16
+
+
+@pytest.mark.parametrize("method", ["greedy", "batched", "none"])
+def test_row_reordering_invariants(clustered_csr, method):
+    rr = row_reordering(clustered_csr, alpha=0.3, method=method)
+    nonempty = np.nonzero(clustered_csr.row_nnz() > 0)[0]
+    assert np.array_equal(np.sort(rr.reordered_rows), nonempty)
+    assert rr.num_clusters >= 1
+    # cluster ids of kept rows are contiguous groups in the output order
+    cl = rr.cluster_ids[rr.reordered_rows]
+    assert np.all(np.diff(cl) >= 0)
+
+
+def test_greedy_clusters_similar_rows():
+    # Two groups of identical rows -> exactly 2 clusters.
+    rows, cols = [], []
+    for r in range(8):
+        base = 0 if r < 4 else 64
+        for c in range(8):
+            rows.append(r)
+            cols.append(base + c)
+    csr = COO((8, 128), rows, cols, np.ones(len(rows))).to_csr()
+    rr = row_reordering(csr, alpha=0.5, method="greedy", col_block_size=16)
+    assert rr.num_clusters == 2
+    first_half = set(rr.reordered_rows[:4].tolist())
+    assert first_half in ({0, 1, 2, 3}, {4, 5, 6, 7})
+
+
+def test_alpha_monotonicity(clustered_csr):
+    # Higher alpha -> stricter merging -> at least as many clusters.
+    n_low = row_reordering(clustered_csr, 0.1, method="greedy").num_clusters
+    n_high = row_reordering(clustered_csr, 0.9, method="greedy").num_clusters
+    assert n_high >= n_low
+
+
+@pytest.mark.parametrize("delta", [0.0, 0.3, 0.7, 1.1])
+def test_bsmr_invariants(clustered_csr, delta):
+    bsmr = BSMR(0.3, delta, clustered_csr, method="greedy")
+    validate.check_row_reordering(clustered_csr, bsmr)
+    validate.check_col_reordering(clustered_csr, bsmr)
+    packed = pack(clustered_csr, bsmr)
+    validate.check_pack(clustered_csr, bsmr, packed)
+    if delta > 1.0:
+        assert packed.num_blocks == 0  # threshold > max possible density
+    # data split accounting
+    assert packed.nnz_dense + packed.nnz_res == clustered_csr.nnz
+
+
+def test_delta_zero_means_all_dense(clustered_csr):
+    bsmr = BSMR(0.3, 0.0, clustered_csr, method="greedy")
+    packed = pack(clustered_csr, bsmr)
+    assert packed.nnz_res == 0
+    assert packed.nnz_dense == clustered_csr.nnz
+
+
+def test_reordering_improves_density(clustered_csr):
+    """BSMR's whole point: after reordering, more nnz land in dense blocks
+    than in the original row order."""
+    bsmr = BSMR(0.3, 0.3, clustered_csr, method="greedy")
+    packed = pack(clustered_csr, bsmr)
+    orig_blocks, orig_density = original_matrix_block_stats(
+        clustered_csr, 0.3)
+    orig_dense_nnz = orig_blocks * config.BLOCK_SIZE * orig_density
+    assert packed.nnz_dense >= orig_dense_nnz
+
+
+@pytest.mark.parametrize("method", ["greedy", "batched"])
+def test_hybrid_matches_reference(clustered_csr, method):
+    k = 32
+    a = generate.make_dense(clustered_csr.m, k, seed=1)
+    b = generate.make_dense(k, clustered_csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(clustered_csr, 0.3, 0.3, method=method)
+    got = np.asarray(runner(a, b))
+    want = sddmm_reference(a, b, clustered_csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_hybrid_random_matrix(small_random_csr):
+    k = 16
+    a = generate.make_dense(small_random_csr.m, k, seed=3)
+    b = generate.make_dense(k, small_random_csr.n, seed=4)
+    bsmr = BSMR(0.3, 0.3, small_random_csr, method="greedy")
+    packed = pack(small_random_csr, bsmr)
+    got = sddmm_hybrid(a, b, packed)
+    want = sddmm_reference(a, b, small_random_csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_hybrid_bf16_path(clustered_csr):
+    k = 32
+    a = generate.make_dense(clustered_csr.m, k, seed=1)
+    b = generate.make_dense(k, clustered_csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(clustered_csr, 0.3, 0.3,
+                                  compute_dtype="bfloat16")
+    got = np.asarray(runner(a, b))
+    want = sddmm_reference(a, b, clustered_csr)
+    # bf16 inputs: loose tolerance (~8-bit mantissa)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-6)
+    assert np.median(rel) < 0.02
+    assert np.max(rel) < 0.2
+
+
+def test_hybrid_empty_rows_and_panels():
+    # Matrix with empty rows and a panel-misaligned row count.
+    coo = COO((37, 50), [0, 5, 5, 36], [1, 2, 3, 49], np.ones(4))
+    csr = coo.to_csr()
+    a = generate.make_dense(37, 8, seed=0)
+    b = generate.make_dense(8, 50, seed=1)
+    runner = HybridSDDMM.from_csr(csr, 0.3, 0.3, method="greedy")
+    got = np.asarray(runner(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
