@@ -50,31 +50,46 @@ def _storage_dtype(compute_dtype: str):
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _hybrid_sddmm_jit(a_pad, bt_pad, a_row_gather, block_panel, block_cols,
-                      res_rows, res_cols, inv_idx, compute_dtype="float32"):
-    """a_pad: (M+1, K) with zero sentinel row; bt_pad: (N+1, K) likewise."""
+def _hybrid_packed_jit(a_pad, bt_pad, group_rows, group_cols,
+                       res_rows, res_cols, compute_dtype="float32"):
+    """Hybrid SDDMM producing the *packed-order* flat value vector
+    (dense group tiles raveled ++ residual) — the framework's native
+    layout.  a_pad: (M+1, K) with zero sentinel row; bt_pad: (N+1, K).
+
+    Dense path: one batched (16, K) x (K, 128) matmul per group — the
+    lane dimension is exactly the TPU lane width, so the MXU runs full
+    128-wide tiles while the op overall stays HBM-gather-bound."""
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
-    panel = config.ROW_PANEL_SIZE
 
-    # Dense path: (numPanels, 16, K) A panels -> (numBlocks, 16, K) per block.
-    a_panels = jnp.take(a_pad, a_row_gather, axis=0).reshape(
-        -1, panel, a_pad.shape[1])
-    ag = jnp.take(a_panels, block_panel, axis=0).astype(cdtype)
-    bg = jnp.take(bt_pad, block_cols, axis=0).astype(cdtype)  # (nB, 16, K)
+    ag = jnp.take(a_pad, group_rows, axis=0).astype(cdtype)   # (nG, 16, K)
+    bg = jnp.take(bt_pad, group_cols, axis=0).astype(cdtype)  # (nG, 128, K)
     tiles = jax.lax.dot_general(
         ag, bg,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (nB, 16, 16) fp32
+    )  # (nG, 16, 128) fp32
 
     # Residual path: per-nnz gather-dot.
     ar = jnp.take(a_pad, res_rows, axis=0).astype(cdtype)
     br = jnp.take(bt_pad, res_cols, axis=0).astype(cdtype)
     res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
-    flat = jnp.concatenate([tiles.reshape(-1), res])
+    return jnp.concatenate([tiles.reshape(-1), res])
+
+
+@functools.partial(jax.jit, static_argnames=("nnz", "strategy"))
+def _to_csr_order_jit(flat, csr_dest, inv_idx, nnz: int, strategy: str):
+    """Reorder the packed flat vector into CSR entry order.
+
+    TPU scalar gathers run ~150M elem/s, so for large nnz a key-value sort
+    (csr_dest holds each slot's destination; non-nnz slots spill past nnz)
+    is ~2x faster than the direct gather; on CPU the gather wins.
+    """
+    if strategy == "sort":
+        _, vals = jax.lax.sort((csr_dest, flat), num_keys=1)
+        return jax.lax.slice_in_dim(vals, 0, nnz)
     return jnp.take(flat, inv_idx)
 
 
@@ -90,22 +105,48 @@ class HybridSDDMM:
 
     Keeps the packed index arrays resident on device so repeated calls
     (benchmark iterations, training steps) only ship A and B.
+
+    Output layouts (``order``):
+
+    - ``"packed"`` (native): the flat vector of dense-tile cells ++
+      residual values, length ``packed.packed_size``.  Slots that are not
+      nnz of S carry garbage dot products; consumers mask them via
+      ``packed.packed_rows`` sentinels (see models/) — this is the layout
+      all high-performance consumers should use, exactly like block-sparse
+      formats in other SDDMM libraries.
+    - ``"csr"``: values in CSR entry order of the input matrix (the
+      reference's output convention).  Costs a device-side permutation:
+      key-value sort on TPU, direct gather elsewhere.
     """
 
     def __init__(self, packed: PackedMatrix, compute_dtype: str = "float32",
-                 device=None):
+                 device=None, default_order: str = "packed"):
         self.packed = packed
         self.compute_dtype = compute_dtype
+        self.default_order = default_order
         put = functools.partial(jax.device_put, device=device)
-        self._a_row_gather = put(jnp.asarray(packed.a_row_gather,
-                                             dtype=jnp.int32))
-        self._block_panel = put(jnp.asarray(packed.block_panel,
-                                            dtype=jnp.int32))
-        self._block_cols = put(jnp.asarray(packed.block_cols,
+        self._group_rows = put(jnp.asarray(packed.group_rows,
+                                           dtype=jnp.int32))
+        self._group_cols = put(jnp.asarray(packed.group_cols,
                                            dtype=jnp.int32))
         self._res_rows = put(jnp.asarray(packed.res_rows, dtype=jnp.int32))
         self._res_cols = put(jnp.asarray(packed.res_cols, dtype=jnp.int32))
         self._inv_idx = put(jnp.asarray(packed.inv_idx, dtype=jnp.int32))
+        self._csr_dest = put(jnp.asarray(packed.csr_dest, dtype=jnp.int32))
+        self._packed_rows = put(jnp.asarray(packed.packed_rows,
+                                            dtype=jnp.int32))
+        self._packed_cols = put(jnp.asarray(packed.packed_cols,
+                                            dtype=jnp.int32))
+
+    @property
+    def packed_rows(self) -> jax.Array:
+        """(F,) original row id per packed slot (sentinel = m)."""
+        return self._packed_rows
+
+    @property
+    def packed_cols(self) -> jax.Array:
+        """(F,) original col id per packed slot (sentinel = n)."""
+        return self._packed_cols
 
     def prepare_operands(self, a, b=None, bt=None):
         """Pad A (M,K)->(M+1,K) and B^T (N,K)->(N+1,K) with zero sentinel
@@ -119,16 +160,73 @@ class HybridSDDMM:
         bt_pad = np.concatenate([bt, np.zeros((1, bt.shape[1]), bt.dtype)])
         return jnp.asarray(a_pad), jnp.asarray(bt_pad)
 
-    def __call__(self, a, b=None, bt=None):
+    def __call__(self, a, b=None, bt=None, order: str = "csr"):
+        """Host convenience: defaults to CSR order for drop-in parity."""
         a_pad, bt_pad = self.prepare_operands(a, b=b, bt=bt)
-        return self.run_padded(a_pad, bt_pad)
+        return self.run_padded(a_pad, bt_pad, order=order)
 
-    def run_padded(self, a_pad: jax.Array, bt_pad: jax.Array) -> jax.Array:
+    def run_padded(self, a_pad: jax.Array, bt_pad: jax.Array,
+                   order: Optional[str] = None) -> jax.Array:
         """Device-resident fast path: operands already padded."""
-        return _hybrid_sddmm_jit(
-            a_pad, bt_pad, self._a_row_gather, self._block_panel,
-            self._block_cols, self._res_rows, self._res_cols, self._inv_idx,
+        order = order or self.default_order
+        flat = _hybrid_packed_jit(
+            a_pad, bt_pad, self._group_rows, self._group_cols,
+            self._res_rows, self._res_cols,
             compute_dtype=self.compute_dtype)
+        if order == "packed":
+            return flat
+        if order == "csr":
+            return self.to_csr_order(flat)
+        raise ValueError(f"unknown order {order!r}")
+
+    def to_csr_order(self, flat: jax.Array) -> jax.Array:
+        """Convert a packed-order flat value vector to CSR entry order."""
+        strategy = ("sort" if flat.shape[0] > 200_000
+                    and jax.devices()[0].platform != "cpu" else "gather")
+        return _to_csr_order_jit(flat, self._csr_dest, self._inv_idx,
+                                 nnz=self.packed.nnz, strategy=strategy)
+
+    def make_looped_fn(self, iterations: int, order: str = "packed"):
+        """A jitted fn running the hybrid SDDMM ``iterations`` times inside
+        one device program, for latency-free kernel timing (the wall clock
+        around a single call measures host<->device round-trip, not kernel
+        time).  A numerically-null but real data dependency chains the
+        iterations so XLA cannot hoist or CSE the loop body:
+        ``carry ~ 1e-30`` and ``a_pad + carry`` rounds to ``a_pad`` exactly
+        in fp32, yet the compiler must re-run the kernel each iteration."""
+
+        def looped(a_pad, bt_pad):
+            def body(_, carry):
+                vals = self.run_padded(a_pad + carry, bt_pad, order=order)
+                return jnp.sum(vals) * jnp.float32(1e-38)
+
+            return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
+
+        return jax.jit(looped)
+
+    def measure_kernel_ms(self, a_pad, bt_pad, iterations: int = 50,
+                          repeats: int = 3, order: str = "packed") -> float:
+        """Average device kernel time (ms) via the looped-timing method:
+        time N-iteration and 1-iteration programs and difference away the
+        fixed dispatch/transfer latency."""
+        import time as _time
+
+        f_many = self.make_looped_fn(iterations, order=order)
+        f_one = self.make_looped_fn(1, order=order)
+        # warmup/compile both
+        float(f_many(a_pad, bt_pad))
+        float(f_one(a_pad, bt_pad))
+
+        def best(f):
+            times = []
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                float(f(a_pad, bt_pad))  # scalar fetch forces completion
+                times.append(_time.perf_counter() - t0)
+            return min(times)
+
+        t_many, t_one = best(f_many), best(f_one)
+        return max(t_many - t_one, 1e-9) * 1e3 / (iterations - 1)
 
     @staticmethod
     def from_csr(csr: CSR, alpha: float = config.DEFAULT_ALPHA,

@@ -74,27 +74,23 @@ def check_col_reordering(csr: CSR, bsmr: BSMR) -> None:
 
 
 def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
-    """Every CSR index appears exactly once across dense tiles + residual,
-    at coordinates consistent with (reordered row, packed column)."""
-    panel_sz = config.ROW_PANEL_SIZE
-    bcol = config.BLOCK_COL_SIZE
-    flat = packed.block_csr.reshape(-1)
+    """Every CSR index appears exactly once across dense group tiles +
+    residual, at coordinates consistent with (reordered row, packed col)."""
+    flat = packed.group_csr.reshape(-1)
     dense_idx = flat[flat >= 0]
     all_idx = np.concatenate([dense_idx, packed.res_csr])
     assert len(all_idx) == csr.nnz, \
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
 
-    # Coordinate consistency of dense tiles.
+    # Coordinate consistency of dense group tiles.
     rows_of = csr.row_indices()
-    nb = packed.num_blocks
-    b_ids, r_loc, c_loc = np.nonzero(packed.block_csr >= 0)
-    csr_ids = packed.block_csr[b_ids, r_loc, c_loc]
-    expect_row = packed.a_row_gather[
-        packed.block_panel[b_ids].astype(np.int64) * panel_sz + r_loc]
+    g_ids, r_loc, c_loc = np.nonzero(packed.group_csr >= 0)
+    csr_ids = packed.group_csr[g_ids, r_loc, c_loc]
+    expect_row = packed.group_rows[g_ids, r_loc]
     assert np.array_equal(rows_of[csr_ids], expect_row), \
         "dense tile row coordinate mismatch"
-    expect_col = packed.block_cols[b_ids, c_loc]
+    expect_col = packed.group_cols[g_ids, c_loc]
     assert np.array_equal(csr.col_idx[csr_ids], expect_col), \
         "dense tile col coordinate mismatch"
 
@@ -104,9 +100,20 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     assert np.array_equal(csr.col_idx[packed.res_csr], packed.res_cols), \
         "residual col mismatch"
 
+    # Packed metadata consistency: real slots carry (row, col); padding
+    # slots carry sentinels; csr_dest inverts inv_idx.
+    assert np.array_equal(packed.packed_rows[packed.inv_idx], rows_of)
+    assert np.array_equal(packed.packed_cols[packed.inv_idx], csr.col_idx)
+    assert np.array_equal(packed.csr_dest[packed.inv_idx],
+                          np.arange(csr.nnz))
+    mask = np.ones(packed.packed_size, dtype=bool)
+    mask[packed.inv_idx] = False
+    assert np.all(packed.packed_rows[mask] == csr.m)
+    assert np.all(packed.packed_cols[mask] == csr.n)
+
     # inv_idx round-trip: scattering arange through the packed layout and
     # gathering back must be the identity.
     probe = np.arange(csr.nnz)
-    flat_vals = np.zeros(nb * config.BLOCK_SIZE + packed.nnz_res)
+    flat_vals = np.zeros(packed.packed_size)
     flat_vals[packed.inv_idx] = probe
     assert np.array_equal(flat_vals[packed.inv_idx], probe)

@@ -1,0 +1,72 @@
+"""Model families: factorization training and graph attention."""
+
+import jax
+import numpy as np
+
+from sddmm_tpu.data import generate
+from sddmm_tpu.models.factorization import SparseFactorizationModel
+from sddmm_tpu.models.graph_attention import (GraphAttentionLayer,
+                                              segment_softmax)
+
+
+def test_factorization_training_reduces_loss():
+    csr = generate.block_clustered(8, 8, block_prob=0.3, seed=21)
+    model = SparseFactorizationModel.from_csr(csr, k=16, learning_rate=0.05)
+    _, losses = model.fit(csr.values, steps=60)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
+
+
+def test_segment_softmax_matches_dense():
+    rows = np.array([0, 0, 0, 1, 1, 3], dtype=np.int32)
+    scores = np.array([1.0, 2.0, 3.0, -1.0, 1.0, 0.5], dtype=np.float32)
+    got = np.asarray(segment_softmax(
+        jax.numpy.asarray(scores), jax.numpy.asarray(rows), 4))
+    # per-row softmax
+    for r in np.unique(rows):
+        seg = scores[rows == r]
+        want = np.exp(seg - seg.max())
+        want /= want.sum()
+        np.testing.assert_allclose(got[rows == r], want, rtol=1e-5)
+    # rows sum to 1
+    sums = np.zeros(4)
+    np.add.at(sums, rows, got)
+    np.testing.assert_allclose(sums[[0, 1, 3]], 1.0, rtol=1e-5)
+
+
+def test_graph_attention_forward():
+    adj = generate.powerlaw_graph(200, avg_degree=6, seed=8)
+    layer = GraphAttentionLayer(adj, feature_dim=16, head_dim=8)
+    params = layer.init(jax.random.PRNGKey(1))
+    x = jax.numpy.asarray(generate.make_dense(adj.m, 16, seed=2))
+    out = np.asarray(layer(params, x))
+    assert out.shape == (adj.m, 8)
+    assert np.isfinite(out).all()
+    # attention output of a node is a convex combination of neighbor V rows:
+    # rows with no out-edges aggregate to zero.
+    empty = np.nonzero(adj.row_nnz() == 0)[0]
+    if len(empty):
+        np.testing.assert_allclose(out[empty], 0.0, atol=1e-6)
+
+
+def test_graph_attention_matches_dense_attention():
+    """On a fully-connected tiny graph the sparse attention must equal
+    dense softmax attention."""
+    from sddmm_tpu.data.sparse import COO
+    n = 12
+    rows, cols = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    adj = COO((n, n), rows.ravel(), cols.ravel(),
+              np.ones(n * n)).to_csr()
+    layer = GraphAttentionLayer(adj, feature_dim=8, head_dim=4)
+    params = layer.init(jax.random.PRNGKey(3))
+    x = jax.numpy.asarray(generate.make_dense(n, 8, seed=5))
+    got = np.asarray(layer(params, x))
+
+    q = np.asarray(x @ params.w_q)
+    k = np.asarray(x @ params.w_k)
+    v = np.asarray(x @ params.w_v)
+    scores = q @ k.T / np.sqrt(4)
+    attn = np.exp(scores - scores.max(1, keepdims=True))
+    attn /= attn.sum(1, keepdims=True)
+    want = attn @ v
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

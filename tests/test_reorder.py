@@ -121,6 +121,36 @@ def test_hybrid_random_matrix(small_random_csr):
     assert res.passed, str(res)
 
 
+def test_hybrid_packed_order_roundtrip(clustered_csr):
+    """Packed-order output gathered through inv_idx equals CSR order, and
+    to_csr_order (both strategies) agrees."""
+    k = 32
+    a = generate.make_dense(clustered_csr.m, k, seed=1)
+    b = generate.make_dense(k, clustered_csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(clustered_csr, 0.3, 0.3)
+    a_pad, bt_pad = runner.prepare_operands(a, b=b)
+    flat = np.asarray(runner.run_padded(a_pad, bt_pad, order="packed"))
+    csr_vals = np.asarray(runner.run_padded(a_pad, bt_pad, order="csr"))
+    np.testing.assert_array_equal(flat[runner.packed.inv_idx], csr_vals)
+    # both conversion strategies agree
+    from sddmm_tpu.ops.hybrid import _to_csr_order_jit
+    import jax.numpy as jnp
+    sorted_vals = np.asarray(_to_csr_order_jit(
+        jnp.asarray(flat), runner._csr_dest, runner._inv_idx,
+        nnz=clustered_csr.nnz, strategy="sort"))
+    np.testing.assert_array_equal(sorted_vals, csr_vals)
+    # packed metadata: real slots carry the right (row, col)
+    pm = runner.packed
+    rows_of = clustered_csr.row_indices()
+    assert np.array_equal(pm.packed_rows[pm.inv_idx], rows_of)
+    assert np.array_equal(pm.packed_cols[pm.inv_idx], clustered_csr.col_idx)
+    # padding slots carry sentinels
+    mask = np.ones(pm.packed_size, dtype=bool)
+    mask[pm.inv_idx] = False
+    assert np.all(pm.packed_rows[mask] == clustered_csr.m)
+    assert np.all(pm.packed_cols[mask] == clustered_csr.n)
+
+
 def test_hybrid_bf16_path(clustered_csr):
     k = 32
     a = generate.make_dense(clustered_csr.m, k, seed=1)
