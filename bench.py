@@ -1,9 +1,14 @@
 """Benchmark entry point: one JSON line with the headline metric.
 
-Headline: hybrid BSMR SDDMM throughput (GFLOPS, = 2*NNZ*K/time) at K=128
-on a block-structured sparse matrix, measured on the attached accelerator.
+Headline: geometric-mean hybrid BSMR SDDMM throughput (GFLOPS =
+2*NNZ*K/time) at K=128 over a 4-matrix suite spanning the regimes the
+reference's 503-matrix SuiteSparse suite covers (fine block structure,
+coarse block structure, power-law graph, banded).  Per matrix the packing
+configuration is chosen by the cost-model autotuner — the same thing the
+reference's alpha/delta sweep mode does empirically (src/sddmm.cu:62-118).
+
 ``vs_baseline`` compares against the reference's published mean K=128
-GFLOPS over its SuiteSparse suite on an RTX 4090 (3452 GFLOPS, BASELINE.md).
+GFLOPS over its SuiteSparse suite on an RTX 4090 (3452, BASELINE.md).
 """
 
 import argparse
@@ -16,71 +21,79 @@ import numpy as np
 REFERENCE_MEAN_GFLOPS_K128 = 3452.0  # BASELINE.md, RTX 4090, 503 matrices
 
 
+def suite(quick: bool):
+    from sddmm_tpu.data import generate
+    if quick:
+        return {
+            "clustered16": lambda: generate.block_clustered(
+                64, 64, block_prob=0.08, block_density=0.7,
+                noise_density=0.0005, seed=42),
+            "powerlaw": lambda: generate.powerlaw_graph(
+                2048, avg_degree=16, seed=44),
+        }
+    return {
+        "clustered16": lambda: generate.block_clustered(
+            1024, 1024, block_prob=0.008, block_density=0.65,
+            noise_density=0.00001, seed=42),
+        "clustered128": lambda: generate.block_clustered(
+            128, 128, group_rows=128, group_cols=128, block_prob=0.025,
+            block_density=0.3, noise_density=0.00001, seed=43),
+        "powerlaw": lambda: generate.powerlaw_graph(
+            32768, avg_degree=40, seed=44),
+        "banded": lambda: generate.banded(
+            24576, 24576, bandwidth=45, fill=0.55, seed=45),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
-                        help="small matrix (CI/CPU-friendly)")
+                        help="small matrices (CI/CPU-friendly)")
     parser.add_argument("--k", type=int, default=128)
-    parser.add_argument("--iterations", type=int, default=10)
+    parser.add_argument("--iterations", type=int, default=30)
     parser.add_argument("--compute-dtype", default="float32",
                         choices=["float32", "tf32", "bfloat16"])
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
-    import jax
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
-    from sddmm_tpu.reorder.bsmr import BSMR
-    from sddmm_tpu.reorder.pack import pack
-    from sddmm_tpu.utils.timing import gflops, time_jax_fn
+    from sddmm_tpu.reorder.autotune import autotune
+    from sddmm_tpu.utils.timing import gflops
 
     def log(msg):
         if args.verbose:
             print(msg, file=sys.stderr)
 
-    t0 = time.perf_counter()
-    if args.quick:
-        csr = generate.block_clustered(
-            num_row_groups=64, num_col_groups=64, block_prob=0.08,
-            block_density=0.7, noise_density=0.0005, seed=42)
-    else:
-        csr = generate.block_clustered(
-            num_row_groups=1024, num_col_groups=1024, block_prob=0.008,
-            block_density=0.65, noise_density=0.00001, seed=42)
-    log(f"matrix: {csr.shape} nnz={csr.nnz} "
-        f"({time.perf_counter() - t0:.1f}s gen)")
+    results = {}
+    for name, gen in suite(args.quick).items():
+        t0 = time.perf_counter()
+        csr = gen()
+        tuned = autotune(csr, k=args.k, compute_dtype=args.compute_dtype)
+        packed = tuned.packed
+        runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype)
+        a = generate.make_dense(csr.m, args.k, seed=1)
+        b = generate.make_dense(args.k, csr.n, seed=2)
+        a_pad, bt_pad = runner.prepare_operands(a, b=b)
+        ms = runner.measure_kernel_ms(
+            a_pad, bt_pad, iterations=max(args.iterations, 10),
+            order="packed")
+        g = gflops(csr.nnz, args.k, ms)
+        results[name] = g
+        log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
+            f"merge={tuned.merge_superpanels}) nS={packed.num_super} "
+            f"nG={packed.num_groups} res={packed.nnz_res} "
+            f"est={tuned.est_ms:.3f}ms meas={ms:.3f}ms gflops={g:.0f} "
+            f"({time.perf_counter() - t0:.0f}s total)")
 
-    t0 = time.perf_counter()
-    bsmr = BSMR(0.3, 0.3, csr, method="batched")
-    packed = pack(csr, bsmr)
-    log(f"reorder+pack: clusters={bsmr.num_clusters} "
-        f"blocks={packed.num_blocks} dense_nnz={packed.nnz_dense} "
-        f"res_nnz={packed.nnz_res} density={packed.average_block_density:.3f}"
-        f" ({time.perf_counter() - t0:.1f}s)")
-
-    runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype)
-    a = generate.make_dense(csr.m, args.k, seed=1)
-    b = generate.make_dense(args.k, csr.n, seed=2)
-    a_pad, bt_pad = runner.prepare_operands(a, b=b)
-
-    ms = runner.measure_kernel_ms(a_pad, bt_pad,
-                                  iterations=max(args.iterations, 20),
-                                  order="packed")
-    value = gflops(csr.nnz, args.k, ms)
-    log(f"device={jax.devices()[0].device_kind} packed-order time={ms:.3f}ms"
-        f" gflops={value:.1f}")
-    if args.verbose:
-        ms_csr = runner.measure_kernel_ms(a_pad, bt_pad,
-                                          iterations=max(args.iterations, 20),
-                                          order="csr")
-        log(f"csr-order time={ms_csr:.3f}ms "
-            f"gflops={gflops(csr.nnz, args.k, ms_csr):.1f}")
-
+    geomean = float(np.exp(np.mean(np.log(np.maximum(
+        list(results.values()), 1e-9)))))
     print(json.dumps({
-        "metric": f"hybrid_sddmm_gflops_k{args.k}",
-        "value": round(value, 1),
+        "metric": f"hybrid_sddmm_geomean_gflops_k{args.k}",
+        "value": round(geomean, 1),
         "unit": "GFLOPS",
-        "vs_baseline": round(value / REFERENCE_MEAN_GFLOPS_K128, 3),
+        "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS_K128, 3),
+        "per_matrix": {k: round(v, 1) for k, v in results.items()},
     }))
 
 

@@ -39,8 +39,30 @@ def _mtx_header(first_line: str):
     return layout, field, symmetry
 
 
-def load_mtx(path: str | Path, dtype=np.float32) -> CSR:
-    """Matrix Market coordinate reader (1-based indices)."""
+def load_mtx(path: str | Path, dtype=np.float32,
+             use_native: bool = True) -> CSR:
+    """Matrix Market coordinate reader (1-based indices).
+
+    Uses the C++ buffered parser (sddmm_tpu.native) when available, with
+    this pure-Python reader as fallback."""
+    if use_native:
+        from sddmm_tpu import native
+        parsed = native.mtx_read(path) if native.available() else None
+        if parsed is not None:
+            m, n, rows, cols, vals, symmetry = parsed
+            rows = rows.astype(np.int64)
+            cols_l = cols.astype(np.int64)
+            vals = vals.astype(dtype)
+            if symmetry in ("symmetric", "skew-symmetric"):
+                off = rows != cols_l
+                sign = -1.0 if symmetry == "skew-symmetric" else 1.0
+                rows, cols_l, vals = (
+                    np.concatenate([rows, cols_l[off]]),
+                    np.concatenate([cols_l, rows[off]]),
+                    np.concatenate([vals, (sign * vals[off]).astype(dtype)]))
+            coo = COO((m, n), rows, cols_l, vals)
+            coo.validate()
+            return coo.to_csr(dtype=dtype)
     with open(path, "r") as f:
         first = f.readline()
         layout, field, symmetry = _mtx_header(first)

@@ -49,34 +49,48 @@ def _storage_dtype(compute_dtype: str):
     return jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _hybrid_packed_jit(a_pad, bt_pad, group_rows, group_cols,
-                       res_rows, res_cols, compute_dtype="float32"):
-    """Hybrid SDDMM producing the *packed-order* flat value vector
-    (dense group tiles raveled ++ residual) — the framework's native
-    layout.  a_pad: (M+1, K) with zero sentinel row; bt_pad: (N+1, K).
-
-    Dense path: one batched (16, K) x (K, 128) matmul per group — the
-    lane dimension is exactly the TPU lane width, so the MXU runs full
-    128-wide tiles while the op overall stays HBM-gather-bound."""
-    cdtype = _storage_dtype(compute_dtype)
-    precision = _PRECISION[compute_dtype]
-
-    ag = jnp.take(a_pad, group_rows, axis=0).astype(cdtype)   # (nG, 16, K)
-    bg = jnp.take(bt_pad, group_cols, axis=0).astype(cdtype)  # (nG, 128, K)
-    tiles = jax.lax.dot_general(
+def _tile_family(a_pad, bt_pad, rows, cols, cdtype, precision):
+    """Batched (R, K) x (K, 128) tile matmul over gathered operands."""
+    ag = jnp.take(a_pad, rows, axis=0).astype(cdtype)   # (nT, R, K)
+    bg = jnp.take(bt_pad, cols, axis=0).astype(cdtype)  # (nT, 128, K)
+    return jax.lax.dot_general(
         ag, bg,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (nG, 16, 128) fp32
+    )  # (nT, R, 128) fp32
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _hybrid_packed_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
+                       group_cols, res_rows, res_cols,
+                       compute_dtype="float32"):
+    """Hybrid SDDMM producing the *packed-order* flat value vector
+    [supertiles ++ group tiles ++ residual] — the framework's native
+    layout.  a_pad: (M+1, K) with zero sentinel row; bt_pad: (N+1, K).
+
+    Dense paths are batched (128|16, K) x (K, 128) matmuls — lane width
+    is exactly the TPU lane dimension; supertiles additionally fill the
+    MXU's 128 sublanes.  bfloat16 mode casts *before* the gathers so the
+    gather traffic halves too."""
+    cdtype = _storage_dtype(compute_dtype)
+    precision = _PRECISION[compute_dtype]
+    if cdtype != a_pad.dtype:
+        a_pad = a_pad.astype(cdtype)
+        bt_pad = bt_pad.astype(cdtype)
+
+    s_tiles = _tile_family(a_pad, bt_pad, super_rows, super_cols,
+                           cdtype, precision)  # (nS, 128, 128)
+    g_tiles = _tile_family(a_pad, bt_pad, group_rows, group_cols,
+                           cdtype, precision)  # (nG, 16, 128)
 
     # Residual path: per-nnz gather-dot.
-    ar = jnp.take(a_pad, res_rows, axis=0).astype(cdtype)
-    br = jnp.take(bt_pad, res_cols, axis=0).astype(cdtype)
+    ar = jnp.take(a_pad, res_rows, axis=0)
+    br = jnp.take(bt_pad, res_cols, axis=0)
     res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
-    return jnp.concatenate([tiles.reshape(-1), res])
+    return jnp.concatenate(
+        [s_tiles.reshape(-1), g_tiles.reshape(-1), res])
 
 
 @functools.partial(jax.jit, static_argnames=("nnz", "strategy"))
@@ -125,6 +139,10 @@ class HybridSDDMM:
         self.compute_dtype = compute_dtype
         self.default_order = default_order
         put = functools.partial(jax.device_put, device=device)
+        self._super_rows = put(jnp.asarray(packed.super_rows,
+                                           dtype=jnp.int32))
+        self._super_cols = put(jnp.asarray(packed.super_cols,
+                                           dtype=jnp.int32))
         self._group_rows = put(jnp.asarray(packed.group_rows,
                                            dtype=jnp.int32))
         self._group_cols = put(jnp.asarray(packed.group_cols,
@@ -170,7 +188,8 @@ class HybridSDDMM:
         """Device-resident fast path: operands already padded."""
         order = order or self.default_order
         flat = _hybrid_packed_jit(
-            a_pad, bt_pad, self._group_rows, self._group_cols,
+            a_pad, bt_pad, self._super_rows, self._super_cols,
+            self._group_rows, self._group_cols,
             self._res_rows, self._res_cols,
             compute_dtype=self.compute_dtype)
         if order == "packed":

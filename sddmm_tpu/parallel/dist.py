@@ -40,18 +40,20 @@ def _pad_to(x: np.ndarray, multiple: int, fill) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
-GROUP_CELLS = config.ROW_PANEL_SIZE * config.DENSE_GROUP_BLOCKS * \
-    config.BLOCK_COL_SIZE  # 2048
+from sddmm_tpu.reorder.pack import GROUP_CELLS, SUPER_CELLS
 
 
 @dataclasses.dataclass
 class ShardedPack:
     """Device-ready padded/sharded index arrays."""
+    super_rows: jax.Array     # ('rows', None) sharded over supertiles
+    super_cols: jax.Array     # ('rows', None)
     group_rows: jax.Array     # ('rows', None) sharded over groups
     group_cols: jax.Array     # ('rows', None)
     res_rows: jax.Array       # ('rows',)
     res_cols: jax.Array       # ('rows',)
     inv_idx: jax.Array        # ('rows',) positions into the *padded* flat
+    num_super_padded: int
     num_groups_padded: int
     num_res_padded: int
 
@@ -59,6 +61,10 @@ class ShardedPack:
 def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     n_rows = mesh.shape["rows"]
 
+    super_rows = _pad_to(packed.super_rows.astype(np.int32), n_rows,
+                         packed.m)
+    super_cols = _pad_to(packed.super_cols.astype(np.int32), n_rows,
+                         packed.n)
     group_rows = _pad_to(packed.group_rows.astype(np.int32), n_rows,
                          packed.m)
     group_cols = _pad_to(packed.group_cols.astype(np.int32), n_rows,
@@ -66,46 +72,64 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     res_rows = _pad_to(packed.res_rows.astype(np.int32), n_rows, packed.m)
     res_cols = _pad_to(packed.res_cols.astype(np.int32), n_rows, packed.n)
 
+    ns_pad = super_rows.shape[0]
     ng_pad = group_rows.shape[0]
     nr_pad = res_rows.shape[0]
     # Recompute inverse index against the padded flat layout:
-    # [tiles of ng_pad groups][residual of nr_pad entries]
+    # [ns_pad supertiles][ng_pad group tiles][nr_pad residual]
     inv = packed.inv_idx.copy()
-    dense_slots = packed.num_groups * GROUP_CELLS
-    is_res = inv >= dense_slots
-    inv[is_res] = inv[is_res] - dense_slots + ng_pad * GROUP_CELLS
+    s_end = packed.num_super * SUPER_CELLS
+    g_end = s_end + packed.num_groups * GROUP_CELLS
+    s_shift = (ns_pad - packed.num_super) * SUPER_CELLS
+    g_shift = s_shift + (ng_pad - packed.num_groups) * GROUP_CELLS
+    in_g = (inv >= s_end) & (inv < g_end)
+    in_r = inv >= g_end
+    inv[in_g] += s_shift
+    inv[in_r] += g_shift
     inv = _pad_to(inv.astype(np.int64), n_rows, 0)
 
     shard1 = NamedSharding(mesh, P("rows"))
     shard2 = NamedSharding(mesh, P("rows", None))
     return ShardedPack(
+        super_rows=jax.device_put(jnp.asarray(super_rows), shard2),
+        super_cols=jax.device_put(jnp.asarray(super_cols), shard2),
         group_rows=jax.device_put(jnp.asarray(group_rows), shard2),
         group_cols=jax.device_put(jnp.asarray(group_cols), shard2),
         res_rows=jax.device_put(jnp.asarray(res_rows), shard1),
         res_cols=jax.device_put(jnp.asarray(res_cols), shard1),
         inv_idx=jax.device_put(jnp.asarray(inv), shard1),
+        num_super_padded=ns_pad,
         num_groups_padded=ng_pad,
         num_res_padded=nr_pad,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _dist_hybrid_jit(a_pad, bt_pad, group_rows, group_cols,
-                     res_rows, res_cols, inv_idx, compute_dtype="float32"):
+def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
+                     group_cols, res_rows, res_cols, inv_idx,
+                     compute_dtype="float32"):
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
+    if cdtype != a_pad.dtype:
+        a_pad = a_pad.astype(cdtype)
+        bt_pad = bt_pad.astype(cdtype)
 
-    ag = jnp.take(a_pad, group_rows, axis=0).astype(cdtype)
-    bg = jnp.take(bt_pad, group_cols, axis=0).astype(cdtype)
-    tiles = jax.lax.dot_general(
-        ag, bg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=precision)
+    def tiles_of(rows, cols):
+        ag = jnp.take(a_pad, rows, axis=0)
+        bg = jnp.take(bt_pad, cols, axis=0)
+        return jax.lax.dot_general(
+            ag, bg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision)
 
-    ar = jnp.take(a_pad, res_rows, axis=0).astype(cdtype)
-    br = jnp.take(bt_pad, res_cols, axis=0).astype(cdtype)
+    s_tiles = tiles_of(super_rows, super_cols)
+    g_tiles = tiles_of(group_rows, group_cols)
+
+    ar = jnp.take(a_pad, res_rows, axis=0)
+    br = jnp.take(bt_pad, res_cols, axis=0)
     res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
-    flat = jnp.concatenate([tiles.reshape(-1), res])
+    flat = jnp.concatenate(
+        [s_tiles.reshape(-1), g_tiles.reshape(-1), res])
     return jnp.take(flat, inv_idx)
 
 
@@ -138,7 +162,8 @@ class DistributedHybridSDDMM:
     def run_padded(self, a_pad, bt_pad):
         s = self.sharded
         vals = _dist_hybrid_jit(
-            a_pad, bt_pad, s.group_rows, s.group_cols,
+            a_pad, bt_pad, s.super_rows, s.super_cols,
+            s.group_rows, s.group_cols,
             s.res_rows, s.res_cols, s.inv_idx,
             compute_dtype=self.compute_dtype)
         return vals[:self.packed.nnz]

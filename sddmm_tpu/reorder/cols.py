@@ -34,61 +34,81 @@ class ColReorderResult:
 
 def col_reordering(csr: CSR, reordered_rows: np.ndarray,
                    delta: float = config.DEFAULT_DELTA) -> ColReorderResult:
+    """Fully vectorized: one global (panel, col) -> count histogram, one
+    lexsort, and segment arithmetic — no per-panel Python loop (the
+    reference parallelizes the same loop with OpenMP,
+    src/colReordering.cu:292)."""
     panel = config.ROW_PANEL_SIZE
     bcol = config.BLOCK_COL_SIZE
     n = csr.n
+    reordered_rows = np.asarray(reordered_rows, dtype=np.int64)
     num_panels = (len(reordered_rows) + panel - 1) // panel
     threshold = int(math.ceil(delta * config.BLOCK_SIZE))
-
-    dense_lists, sparse_lists = [], []
-    dense_counts = np.zeros(num_panels, dtype=np.int64)
-    sparse_counts = np.zeros(num_panels, dtype=np.int64)
-    sparse_data = np.zeros(num_panels, dtype=np.int64)
-
-    row_ptr, col_idx = csr.row_ptr, csr.col_idx
-    for p in range(num_panels):
-        rows = reordered_rows[p * panel:(p + 1) * panel]
-        segs = [col_idx[row_ptr[r]:row_ptr[r + 1]] for r in rows]
-        cols = np.concatenate(segs) if segs else np.zeros(0, dtype=np.int32)
-        if len(cols) == 0:
-            dense_lists.append(np.zeros(0, dtype=np.int64))
-            sparse_lists.append(np.zeros(0, dtype=np.int64))
-            continue
-        uniq_cols, counts = np.unique(cols, return_counts=True)
-        # descending by count, stable with ascending col id as tiebreak
-        order = np.lexsort((uniq_cols, -counts))
-        uniq_cols = uniq_cols[order].astype(np.int64)
-        counts = counts[order]
-        # pad to a multiple of BLOCK_COL_SIZE with sentinel col = n, count 0
-        pad = (-len(uniq_cols)) % bcol
-        if pad:
-            uniq_cols = np.concatenate(
-                [uniq_cols, np.full(pad, n, dtype=np.int64)])
-            counts = np.concatenate([counts, np.zeros(pad, dtype=counts.dtype)])
-        group_sums = counts.reshape(-1, bcol).sum(axis=1)
-        dense_groups = int(np.count_nonzero(group_sums >= threshold))
-        nd = dense_groups * bcol
-        dense_lists.append(uniq_cols[:nd])
-        rest_cols = uniq_cols[nd:]
-        rest_counts = counts[nd:]
-        keep = rest_counts > 0
-        sparse_lists.append(rest_cols[keep])
-        dense_counts[p] = nd
-        sparse_counts[p] = int(keep.sum())
-        sparse_data[p] = int(rest_counts[keep].sum())
 
     def offsets(c):
         out = np.zeros(num_panels + 1, dtype=np.int64)
         np.cumsum(c, out=out[1:])
         return out
 
+    if num_panels == 0 or csr.nnz == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ColReorderResult(num_panels, z, offsets([]), z,
+                                offsets([]), offsets([]))
+
+    # (panel, col) histogram over the entries of the reordered rows.
+    row_panel = np.full(csr.m, -1, dtype=np.int64)
+    row_panel[reordered_rows] = np.arange(len(reordered_rows)) // panel
+    entry_panel = row_panel[csr.row_indices().astype(np.int64)]
+    keep = entry_panel >= 0  # rows not in the reordering contribute nothing
+    keys = entry_panel[keep] * np.int64(n) + csr.col_idx[keep]
+    uniq, counts = np.unique(keys, return_counts=True)
+    u_panel = uniq // n
+    u_col = uniq % n
+
+    # Per panel: descending count, ascending col as tiebreak.
+    order = np.lexsort((u_col, -counts, u_panel))
+    u_panel = u_panel[order]
+    u_col = u_col[order]
+    counts = counts[order]
+
+    # Position of each (panel, col) within its panel.
+    cols_per_panel = np.bincount(u_panel, minlength=num_panels).astype(
+        np.int64)
+    panel_start = offsets(cols_per_panel)
+    pos = np.arange(len(u_col), dtype=np.int64) - panel_start[u_panel]
+
+    # 16-col group sums per panel (trailing partial group = zero-padded).
+    group_id = u_panel * ((n // bcol) + 1) + pos // bcol
+    uniq_g, g_inv = np.unique(group_id, return_inverse=True)
+    g_sums = np.bincount(g_inv, weights=counts.astype(np.float64))
+    g_panel = (uniq_g // ((n // bcol) + 1)).astype(np.int64)
+    g_dense = g_sums >= threshold
+    dense_groups_per_panel = np.bincount(
+        g_panel[g_dense], minlength=num_panels).astype(np.int64)
+    nd_per_panel = dense_groups_per_panel * bcol  # incl sentinel padding
+
+    is_dense = pos < nd_per_panel[u_panel]
+    sparse_counts = np.bincount(u_panel[~is_dense],
+                                minlength=num_panels).astype(np.int64)
+    sparse_data = np.bincount(
+        u_panel[~is_dense], weights=counts[~is_dense].astype(np.float64),
+        minlength=num_panels).astype(np.int64)
+
+    dense_off = offsets(nd_per_panel)
+    sparse_off = offsets(sparse_counts)
+    dense_cols = np.full(int(dense_off[-1]), n, dtype=np.int64)
+    dense_cols[dense_off[u_panel[is_dense]] + pos[is_dense]] = \
+        u_col[is_dense]
+    sparse_pos = pos[~is_dense] - nd_per_panel[u_panel[~is_dense]]
+    sparse_cols = np.empty(int(sparse_off[-1]), dtype=np.int64)
+    sparse_cols[sparse_off[u_panel[~is_dense]] + sparse_pos] = \
+        u_col[~is_dense]
+
     return ColReorderResult(
         num_row_panels=num_panels,
-        dense_cols=(np.concatenate(dense_lists)
-                    if dense_lists else np.zeros(0, dtype=np.int64)),
-        dense_col_offsets=offsets(dense_counts),
-        sparse_cols=(np.concatenate(sparse_lists)
-                     if sparse_lists else np.zeros(0, dtype=np.int64)),
-        sparse_col_offsets=offsets(sparse_counts),
+        dense_cols=dense_cols,
+        dense_col_offsets=dense_off,
+        sparse_cols=sparse_cols,
+        sparse_col_offsets=sparse_off,
         sparse_data_offsets=offsets(sparse_data),
     )

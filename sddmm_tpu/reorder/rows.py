@@ -147,8 +147,16 @@ def _greedy_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
 
 def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
                      alpha: float, leaders_per_round: int = 32,
-                     max_rounds: Optional[int] = None):
-    """Multi-leader data-parallel approximation (see module docstring)."""
+                     max_rounds: Optional[int] = None,
+                     bail_after: int = 48, bail_yield: float = 1.5):
+    """Multi-leader data-parallel approximation (see module docstring).
+
+    Early bail: if after ``bail_after`` rounds the average rows clustered
+    per round is below ``bail_yield * leaders_per_round`` (i.e. the matrix
+    barely clusters — e.g. power-law graphs where most rows are mutually
+    dissimilar), the remaining rows become singleton clusters in dispersion
+    order.  Clustering helps exactly when rows are similar; when they are
+    not, spending O(rows * clusters) to discover that is wasted."""
     num_rows_total = block_ptr.shape[0] - 1
     cluster_of = np.full(num_rows_total, -1, dtype=np.int64)
     # Precompute normalized encodings per row (CSR layout over blocks).
@@ -170,14 +178,18 @@ def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
 
     num_clusters = 0
     rounds = 0
+    total_rows = len(order)
     order_arr = np.asarray(order)
     while remaining_mask.any():
         rounds += 1
-        if max_rounds is not None and rounds > max_rounds:
+        assigned_so_far = total_rows - int(remaining_mask.sum())
+        bail = (rounds > bail_after
+                and assigned_so_far < bail_yield * leaders_per_round * rounds)
+        if bail or (max_rounds is not None and rounds > max_rounds):
             # Leftovers become singleton clusters in dispersion order.
-            for row in order_arr[remaining_mask[order_arr]]:
-                cluster_of[row] = num_clusters
-                num_clusters += 1
+            live = order_arr[remaining_mask[order_arr]]
+            cluster_of[live] = num_clusters + np.arange(len(live))
+            num_clusters += len(live)
             break
         live = order_arr[remaining_mask[order_arr]]
         leaders = live[:leaders_per_round]
@@ -244,8 +256,15 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
     if method == "auto":
         method = "greedy" if len(order) <= 100_000 else "batched"
     if method == "greedy":
-        cluster_of, num_clusters = _greedy_cluster(
-            order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
+        from sddmm_tpu import native
+        native_result = (native.greedy_cluster(
+            block_ptr, block_idx, block_cnt, order, m, num_blocks, alpha)
+            if native.available() else None)
+        if native_result is not None:
+            cluster_of, num_clusters = native_result
+        else:
+            cluster_of, num_clusters = _greedy_cluster(
+                order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
     elif method == "batched":
         cluster_of, num_clusters = _batched_cluster(
             order, block_ptr, block_idx, block_cnt, num_blocks, alpha)

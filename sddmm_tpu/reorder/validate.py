@@ -74,25 +74,28 @@ def check_col_reordering(csr: CSR, bsmr: BSMR) -> None:
 
 
 def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
-    """Every CSR index appears exactly once across dense group tiles +
-    residual, at coordinates consistent with (reordered row, packed col)."""
-    flat = packed.group_csr.reshape(-1)
-    dense_idx = flat[flat >= 0]
-    all_idx = np.concatenate([dense_idx, packed.res_csr])
+    """Every CSR index appears exactly once across supertiles + group
+    tiles + residual, at coordinates consistent with the packed layout."""
+    sflat = packed.super_csr.reshape(-1)
+    gflat = packed.group_csr.reshape(-1)
+    all_idx = np.concatenate(
+        [sflat[sflat >= 0], gflat[gflat >= 0], packed.res_csr])
     assert len(all_idx) == csr.nnz, \
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
 
-    # Coordinate consistency of dense group tiles.
+    # Coordinate consistency of both dense tile families.
     rows_of = csr.row_indices()
-    g_ids, r_loc, c_loc = np.nonzero(packed.group_csr >= 0)
-    csr_ids = packed.group_csr[g_ids, r_loc, c_loc]
-    expect_row = packed.group_rows[g_ids, r_loc]
-    assert np.array_equal(rows_of[csr_ids], expect_row), \
-        "dense tile row coordinate mismatch"
-    expect_col = packed.group_cols[g_ids, c_loc]
-    assert np.array_equal(csr.col_idx[csr_ids], expect_col), \
-        "dense tile col coordinate mismatch"
+    for csr_arr, rows_arr, cols_arr, fam in (
+            (packed.super_csr, packed.super_rows, packed.super_cols, "S"),
+            (packed.group_csr, packed.group_rows, packed.group_cols, "G")):
+        t_ids, r_loc, c_loc = np.nonzero(csr_arr >= 0)
+        csr_ids = csr_arr[t_ids, r_loc, c_loc]
+        assert np.array_equal(rows_of[csr_ids], rows_arr[t_ids, r_loc]), \
+            f"{fam}-tile row coordinate mismatch"
+        assert np.array_equal(csr.col_idx[csr_ids],
+                              cols_arr[t_ids, c_loc]), \
+            f"{fam}-tile col coordinate mismatch"
 
     # Residual consistency.
     assert np.array_equal(rows_of[packed.res_csr], packed.res_rows), \
