@@ -51,11 +51,12 @@ def main():
                         help="small matrices (CI/CPU-friendly)")
     parser.add_argument("--k", type=int, default=128)
     parser.add_argument("--iterations", type=int, default=30)
-    parser.add_argument("--compute-dtype", default="float32",
+    parser.add_argument("--compute-dtype", default="tf32",
                         choices=["float32", "tf32", "bfloat16"])
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    import jax
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     from sddmm_tpu.reorder.autotune import autotune
@@ -69,9 +70,12 @@ def main():
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
-        tuned = autotune(csr, k=args.k, compute_dtype=args.compute_dtype)
+        measure = jax.devices()[0].platform != "cpu"
+        tuned = autotune(csr, k=args.k, compute_dtype=args.compute_dtype,
+                         measure=measure)
         packed = tuned.packed
-        runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype)
+        runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
+                             k_chunks=tuned.k_chunks)
         a = generate.make_dense(csr.m, args.k, seed=1)
         b = generate.make_dense(args.k, csr.n, seed=2)
         a_pad, bt_pad = runner.prepare_operands(a, b=b)
@@ -81,6 +85,7 @@ def main():
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
+            f"G={tuned.group_size} C={tuned.k_chunks} "
             f"merge={tuned.merge_superpanels}) nS={packed.num_super} "
             f"nG={packed.num_groups} res={packed.nnz_res} "
             f"est={tuned.est_ms:.3f}ms meas={ms:.3f}ms gflops={g:.0f} "

@@ -4,20 +4,34 @@ Reference counterpart: the two concurrently-streamed CUDA kernels
 (src/sddmmKernel.cu:2540-2663 — WMMA dense blocks at :213/:355 and the
 2-thread-per-nnz residual at :1994/:2109).  TPU-native re-design:
 
-- The dense path is ONE batched matmul over gathered operands:
+- The dense path is batched matmuls over gathered operands:
   ``tiles[b] = A[rows(panel(b))] @ B[:, cols(b)]`` expressed as an einsum
-  ``bik,bjk->bij`` on (numBlocks, 16, K) gathers of A and B^T.  XLA maps
-  it onto the MXU; at 16x16 logical blocks the op is HBM-bound, so the
-  roofline is gather bandwidth, not FLOPs.
-- The residual path is a per-nnz gather-dot on the VPU.
+  ``bik,bjk->bij`` on gathers of A and the *grouped* B^T layout.  XLA maps
+  it onto the MXU; the op is HBM-bound, so the roofline is gather
+  bandwidth, not FLOPs.
+- B^T is stored grouped: one physical row holds the G similarity-clustered
+  columns of a gather group (pack.py docstring), so one descriptor fetches
+  G columns — the lever that keeps small-K SDDMM off the gather engine's
+  per-descriptor floor.  Optionally the K dimension is split into C chunks
+  so each chunk's gather source stays within the fast on-chip window
+  (measured: the gather engine runs ~3-6x faster when its source is a few
+  MB; see docs/performance.md).
+- The residual path is a per-nnz gather-dot on the VPU, fetching each
+  entry's column group and selecting the member lane.
 - Both fuse into one jitted program — XLA's async scheduler overlaps them,
   which is the reference's dual-stream design "for free".
 - Results land in CSR order via ONE inverse-permutation gather (see
   reorder/pack.py) — no scatter, no atomics.
 
-Precision: ``compute_dtype`` bfloat16 uses the MXU's native input type with
-float32 accumulation (the TPU analogue of the reference's fp32->tf32
-demotion, src/sddmmKernel.cu:317-325); float32 runs full precision.
+Precision (``compute_dtype``):
+
+- ``"float32"``: exact fp32 (XLA HIGHEST, 6-pass MXU emulation).
+- ``"tf32"`` (default for benchmarking): 3-pass bfloat16 emulation (XLA
+  HIGH) — the TPU analogue of the reference's fp32->tf32 demotion
+  (src/sddmmKernel.cu:317-325), slightly *more* accurate than tf32 and
+  passing the reference's abs 1e-5 / rel 1e-3 contract.
+- ``"bfloat16"``: native bf16 inputs, fp32 accumulation; halves gather
+  traffic but sits below the reference's precision class.
 """
 
 from __future__ import annotations
@@ -32,12 +46,8 @@ import numpy as np
 from sddmm_tpu import config
 from sddmm_tpu.data.sparse import CSR
 from sddmm_tpu.reorder.bsmr import BSMR
-from sddmm_tpu.reorder.pack import PackedMatrix, pack
+from sddmm_tpu.reorder.pack import GROUP_LANES, PackedMatrix, pack
 
-
-# MXU precision per compute dtype.  "float32" runs exact fp32 (6-pass MXU);
-# "tf32" approximates the reference's fp32->tf32 demotion with the 3-pass
-# bfloat16 algorithm; "bfloat16" uses native bf16 inputs, fp32 accumulate.
 _PRECISION = {
     "float32": jax.lax.Precision.HIGHEST,
     "tf32": jax.lax.Precision.HIGH,
@@ -49,45 +59,64 @@ def _storage_dtype(compute_dtype: str):
     return jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
 
-def _tile_family(a_pad, bt_pad, rows, cols, cdtype, precision):
-    """Batched (R, K) x (K, 128) tile matmul over gathered operands."""
-    ag = jnp.take(a_pad, rows, axis=0).astype(cdtype)   # (nT, R, K)
-    bg = jnp.take(bt_pad, cols, axis=0).astype(cdtype)  # (nT, 128, K)
-    return jax.lax.dot_general(
-        ag, bg,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (nT, R, 128) fp32
-
-
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _hybrid_packed_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
-                       group_cols, res_rows, res_cols,
-                       compute_dtype="float32"):
+@functools.partial(jax.jit,
+                   static_argnames=("compute_dtype", "g", "kc"))
+def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, group_rows,
+                       group_gids, res_rows, res_gids, res_member,
+                       compute_dtype="tf32", g=1, kc=0):
     """Hybrid SDDMM producing the *packed-order* flat value vector
     [supertiles ++ group tiles ++ residual] — the framework's native
-    layout.  a_pad: (M+1, K) with zero sentinel row; bt_pad: (N+1, K).
+    layout.
 
-    Dense paths are batched (128|16, K) x (K, 128) matmuls — lane width
-    is exactly the TPU lane dimension; supertiles additionally fill the
-    MXU's 128 sublanes.  bfloat16 mode casts *before* the gathers so the
-    gather traffic halves too."""
+    a_pad: (M+1, K) with zero sentinel row.
+    bt_phys: (C, NG+1, G*Kc) grouped/chunked B^T with zero sentinel rows
+    (C*Kc == K); built by prepare_operands / device_prepare.
+    """
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
     if cdtype != a_pad.dtype:
         a_pad = a_pad.astype(cdtype)
-        bt_pad = bt_pad.astype(cdtype)
+        bt_phys = bt_phys.astype(cdtype)
+    C = bt_phys.shape[0]
+    LG = GROUP_LANES // g
 
-    s_tiles = _tile_family(a_pad, bt_pad, super_rows, super_cols,
-                           cdtype, precision)  # (nS, 128, 128)
-    g_tiles = _tile_family(a_pad, bt_pad, group_rows, group_cols,
-                           cdtype, precision)  # (nG, 16, 128)
+    # A rows gathered once at full K; B group rows gathered per K-chunk.
+    a_super = jnp.take(a_pad, super_rows, axis=0)   # (nS, 128, K)
+    a_group = jnp.take(a_pad, group_rows, axis=0)   # (nG, 16, K)
+    a_res = jnp.take(a_pad, res_rows, axis=0)       # (nR, K)
 
-    # Residual path: per-nnz gather-dot.
-    ar = jnp.take(a_pad, res_rows, axis=0)
-    br = jnp.take(bt_pad, res_cols, axis=0)
-    res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
+    def tile_chunk(a_c, bt_c, gids, nt, rows):
+        bg = jnp.take(bt_c, gids, axis=0)           # (nT, LG, G*Kc)
+        bg = bg.reshape(nt, LG, g, kc).reshape(nt, GROUP_LANES, kc)
+        return jax.lax.dot_general(
+            a_c, bg,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+
+    nS = super_rows.shape[0]
+    nG = group_rows.shape[0]
+    nR = res_rows.shape[0]
+    s_tiles = jnp.zeros((nS, 128, GROUP_LANES), jnp.float32)
+    g_tiles = jnp.zeros((nG, config.ROW_PANEL_SIZE, GROUP_LANES),
+                        jnp.float32)
+    res = jnp.zeros((nR,), jnp.float32)
+    for c in range(C):
+        bt_c = bt_phys[c]
+        a_s = jax.lax.slice_in_dim(a_super, c * kc, (c + 1) * kc, axis=2)
+        a_g = jax.lax.slice_in_dim(a_group, c * kc, (c + 1) * kc, axis=2)
+        s_tiles = s_tiles + tile_chunk(a_s, bt_c, super_gids, nS,
+                                       super_rows.shape[1])
+        g_tiles = g_tiles + tile_chunk(a_g, bt_c, group_gids, nG,
+                                       group_rows.shape[1])
+        # Residual: fetch the entry's column group, select member lane.
+        br = jnp.take(bt_c, res_gids, axis=0).reshape(nR, g, kc)
+        br = jnp.take_along_axis(
+            br, res_member[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        a_r = jax.lax.slice_in_dim(a_res, c * kc, (c + 1) * kc, axis=1)
+        res = res + jnp.sum(
+            a_r.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
     return jnp.concatenate(
         [s_tiles.reshape(-1), g_tiles.reshape(-1), res])
@@ -107,8 +136,45 @@ def _to_csr_order_jit(flat, csr_dest, inv_idx, nnz: int, strategy: str):
     return jnp.take(flat, inv_idx)
 
 
+def build_bt_phys(bt_pad: np.ndarray, packed: PackedMatrix,
+                  k_chunks: int = 1) -> np.ndarray:
+    """Host-side grouped/chunked B^T layout: (C, NG+1, G*Kc) fp32/bf16.
+
+    bt_pad: (N+1, K) with zero sentinel row.  Physical group row g of
+    chunk c holds [K-chunk c of col_order[g*G+0], ..., of col_order[g*G+
+    G-1]]; the sentinel group row NG is all zeros (col_order sentinels
+    point at bt_pad's zero row N).
+    """
+    G, NG = packed.group_size, packed.num_col_groups
+    n_sent = bt_pad.shape[0] - 1
+    k = bt_pad.shape[1]
+    C = int(k_chunks)
+    kc = k // C
+    assert kc * C == k, f"K={k} not divisible by k_chunks={C}"
+    order = np.where(packed.col_order < n_sent, packed.col_order, n_sent)
+    arr = bt_pad[order]                              # (NG*G, K)
+    arr = arr.reshape(NG, G, C, kc).transpose(2, 0, 1, 3)
+    arr = np.ascontiguousarray(arr.reshape(C, NG, G * kc))
+    sent = np.zeros((C, 1, G * kc), dtype=arr.dtype)
+    return np.concatenate([arr, sent], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "ng", "k_chunks"))
+def device_bt_phys(bt_pad: jax.Array, col_order: jax.Array, g: int,
+                   ng: int, k_chunks: int = 1) -> jax.Array:
+    """In-jit equivalent of build_bt_phys for device-resident operands
+    (used by models whose B is computed on device)."""
+    k = bt_pad.shape[1]
+    kc = k // k_chunks
+    arr = jnp.take(bt_pad, col_order, axis=0)        # (NG*G, K)
+    arr = arr.reshape(ng, g, k_chunks, kc).transpose(2, 0, 1, 3)
+    arr = arr.reshape(k_chunks, ng, g * kc)
+    sent = jnp.zeros((k_chunks, 1, g * kc), dtype=arr.dtype)
+    return jnp.concatenate([arr, sent], axis=1)
+
+
 def sddmm_hybrid(a, b, packed: PackedMatrix,
-                 compute_dtype: str = "float32") -> np.ndarray:
+                 compute_dtype: str = "tf32") -> np.ndarray:
     """One-shot host convenience wrapper (numpy in / numpy out)."""
     runner = HybridSDDMM(packed, compute_dtype=compute_dtype)
     return np.asarray(runner(a, b))
@@ -133,22 +199,27 @@ class HybridSDDMM:
       key-value sort on TPU, direct gather elsewhere.
     """
 
-    def __init__(self, packed: PackedMatrix, compute_dtype: str = "float32",
-                 device=None, default_order: str = "packed"):
+    def __init__(self, packed: PackedMatrix, compute_dtype: str = "tf32",
+                 device=None, default_order: str = "packed",
+                 k_chunks: int = 1):
         self.packed = packed
         self.compute_dtype = compute_dtype
         self.default_order = default_order
+        self.k_chunks = int(k_chunks)
         put = functools.partial(jax.device_put, device=device)
         self._super_rows = put(jnp.asarray(packed.super_rows,
                                            dtype=jnp.int32))
-        self._super_cols = put(jnp.asarray(packed.super_cols,
+        self._super_gids = put(jnp.asarray(packed.super_gids,
                                            dtype=jnp.int32))
         self._group_rows = put(jnp.asarray(packed.group_rows,
                                            dtype=jnp.int32))
-        self._group_cols = put(jnp.asarray(packed.group_cols,
+        self._group_gids = put(jnp.asarray(packed.group_gids,
                                            dtype=jnp.int32))
         self._res_rows = put(jnp.asarray(packed.res_rows, dtype=jnp.int32))
-        self._res_cols = put(jnp.asarray(packed.res_cols, dtype=jnp.int32))
+        self._res_gids = put(jnp.asarray(packed.res_gids, dtype=jnp.int32))
+        self._res_member = put(jnp.asarray(packed.res_member,
+                                           dtype=jnp.int32))
+        self._col_order_dev = None
         self._inv_idx = put(jnp.asarray(packed.inv_idx, dtype=jnp.int32))
         self._csr_dest = put(jnp.asarray(packed.csr_dest, dtype=jnp.int32))
         self._packed_rows = put(jnp.asarray(packed.packed_rows,
@@ -166,9 +237,18 @@ class HybridSDDMM:
         """(F,) original col id per packed slot (sentinel = n)."""
         return self._packed_cols
 
+    @property
+    def is_identity_layout(self) -> bool:
+        """True when bt_phys[0] is exactly bt_pad (G=1, C=1, no column
+        clustering): legacy callers may pass plain (N+1, K) operands."""
+        p = self.packed
+        return (p.group_size == 1 and self.k_chunks == 1
+                and bool(np.array_equal(p.col_order,
+                                        np.arange(p.n, dtype=np.int64))))
+
     def prepare_operands(self, a, b=None, bt=None):
-        """Pad A (M,K)->(M+1,K) and B^T (N,K)->(N+1,K) with zero sentinel
-        rows, as device arrays."""
+        """Pad A (M,K)->(M+1,K); build the grouped/chunked B^T layout
+        (C, NG+1, G*Kc) — both as device arrays."""
         a = np.asarray(a)
         if bt is None:
             bt = np.ascontiguousarray(np.asarray(b).T)
@@ -176,22 +256,49 @@ class HybridSDDMM:
             bt = np.asarray(bt)
         a_pad = np.concatenate([a, np.zeros((1, a.shape[1]), a.dtype)])
         bt_pad = np.concatenate([bt, np.zeros((1, bt.shape[1]), bt.dtype)])
-        return jnp.asarray(a_pad), jnp.asarray(bt_pad)
+        bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
+        return jnp.asarray(a_pad), jnp.asarray(bt_phys)
+
+    def device_prepare(self, a_pad: jax.Array,
+                       bt_pad: jax.Array) -> tuple:
+        """Device-side counterpart of prepare_operands for operands that
+        already live on device as (M+1, K) / (N+1, K) padded arrays."""
+        if self.is_identity_layout:
+            return a_pad, bt_pad[None]
+        if self._col_order_dev is None:
+            p = self.packed
+            order = np.where(p.col_order < p.n, p.col_order, p.n)
+            self._col_order_dev = jnp.asarray(order, dtype=jnp.int32)
+        return a_pad, device_bt_phys(
+            bt_pad, self._col_order_dev, self.packed.group_size,
+            self.packed.num_col_groups, self.k_chunks)
 
     def __call__(self, a, b=None, bt=None, order: str = "csr"):
         """Host convenience: defaults to CSR order for drop-in parity."""
-        a_pad, bt_pad = self.prepare_operands(a, b=b, bt=bt)
-        return self.run_padded(a_pad, bt_pad, order=order)
+        a_pad, bt_phys = self.prepare_operands(a, b=b, bt=bt)
+        return self.run_padded(a_pad, bt_phys, order=order)
 
-    def run_padded(self, a_pad: jax.Array, bt_pad: jax.Array,
+    def run_padded(self, a_pad: jax.Array, bt_phys: jax.Array,
                    order: Optional[str] = None) -> jax.Array:
-        """Device-resident fast path: operands already padded."""
+        """Device-resident fast path: operands already in framework
+        layout (prepare_operands / device_prepare).  For backward
+        compatibility a plain (N+1, K) bt is accepted when the packing
+        uses the identity layout."""
         order = order or self.default_order
+        if bt_phys.ndim == 2:
+            if not self.is_identity_layout:
+                raise ValueError(
+                    "2-D bt operand requires identity layout; use "
+                    "prepare_operands/device_prepare for grouped packing")
+            bt_phys = bt_phys[None]
+        k = a_pad.shape[1]
+        kc = k // bt_phys.shape[0]
         flat = _hybrid_packed_jit(
-            a_pad, bt_pad, self._super_rows, self._super_cols,
-            self._group_rows, self._group_cols,
-            self._res_rows, self._res_cols,
-            compute_dtype=self.compute_dtype)
+            a_pad, bt_phys, self._super_rows, self._super_gids,
+            self._group_rows, self._group_gids,
+            self._res_rows, self._res_gids, self._res_member,
+            compute_dtype=self.compute_dtype,
+            g=self.packed.group_size, kc=kc)
         if order == "packed":
             return flat
         if order == "csr":
@@ -211,19 +318,42 @@ class HybridSDDMM:
         around a single call measures host<->device round-trip, not kernel
         time).  A numerically-null but real data dependency chains the
         iterations so XLA cannot hoist or CSE the loop body:
-        ``carry ~ 1e-30`` and ``a_pad + carry`` rounds to ``a_pad`` exactly
-        in fp32, yet the compiler must re-run the kernel each iteration."""
+        ``carry ~ 1e-38`` scales a sum of all outputs, and the operand is
+        masked by an always-true predicate on the carry — opaque to the
+        compiler, exact at runtime."""
 
-        def looped(a_pad, bt_pad):
+        def looped(a_pad, bt_phys):
+            if bt_phys.ndim == 2:
+                bt_phys = bt_phys[None]
+            k = a_pad.shape[1]
+            kc = k // bt_phys.shape[0]
+
             def body(_, carry):
-                vals = self.run_padded(a_pad + carry, bt_pad, order=order)
-                return jnp.sum(vals) * jnp.float32(1e-38)
+                # Perturb the (tiny) index arrays with an always-true
+                # predicate on the carry: opaque to XLA (no hoisting/CSE
+                # of the loop body), free at runtime.
+                live = carry > jnp.float32(-1e30)
+
+                def mask(ix):
+                    return jnp.where(live, ix, jnp.zeros_like(ix))
+
+                flat = _hybrid_packed_jit(
+                    a_pad, bt_phys,
+                    mask(self._super_rows), mask(self._super_gids),
+                    mask(self._group_rows), mask(self._group_gids),
+                    mask(self._res_rows), mask(self._res_gids),
+                    mask(self._res_member),
+                    compute_dtype=self.compute_dtype,
+                    g=self.packed.group_size, kc=kc)
+                if order == "csr":
+                    flat = self.to_csr_order(flat)
+                return jnp.sum(flat) * jnp.float32(1e-38)
 
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
         return jax.jit(looped)
 
-    def measure_kernel_ms(self, a_pad, bt_pad, iterations: int = 50,
+    def measure_kernel_ms(self, a_pad, bt_phys, iterations: int = 50,
                           repeats: int = 3, order: str = "packed") -> float:
         """Average device kernel time (ms) via the looped-timing method:
         time N-iteration and 1-iteration programs and difference away the
@@ -233,14 +363,14 @@ class HybridSDDMM:
         f_many = self.make_looped_fn(iterations, order=order)
         f_one = self.make_looped_fn(1, order=order)
         # warmup/compile both
-        float(f_many(a_pad, bt_pad))
-        float(f_one(a_pad, bt_pad))
+        float(f_many(a_pad, bt_phys))
+        float(f_one(a_pad, bt_phys))
 
         def best(f):
             times = []
             for _ in range(repeats):
                 t0 = _time.perf_counter()
-                float(f(a_pad, bt_pad))  # scalar fetch forces completion
+                float(f(a_pad, bt_phys))  # scalar fetch forces completion
                 times.append(_time.perf_counter() - t0)
             return min(times)
 
@@ -250,7 +380,7 @@ class HybridSDDMM:
     @staticmethod
     def from_csr(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
                  delta: float = config.DEFAULT_DELTA,
-                 compute_dtype: str = "float32",
+                 compute_dtype: str = "tf32",
                  method: str = "auto") -> "HybridSDDMM":
         bsmr = BSMR(alpha, delta, csr, method=method)
         return HybridSDDMM(pack(csr, bsmr), compute_dtype=compute_dtype)

@@ -2,23 +2,24 @@
 
 The reference ships fixed defaults (alpha=0.3, delta=0.3,
 include/Options.hpp:38-41) tuned for an RTX 4090's tensor-core/CUDA-core
-balance.  TPU economics are different — the op is HBM-bound, the gather
-engine runs at ~320 GB/s, and a dense-tile column costs a fixed ~640 B
-while a residual nnz costs ~1 KB — so the best delta is usually much
-lower, and superpanel merging changes the balance again.  This module
-estimates runtime from the *packing statistics alone* (no device needed)
-and picks the best configuration per matrix.
+balance, and explores the rest of the space empirically with its -t sweep
+mode (src/sddmm.cu:62-118).  TPU economics are different — the op is
+HBM-bound and the gather engine's throughput depends strongly on both the
+descriptor width and the gather-source footprint (docs/performance.md) —
+so this module does both: a measurement-backed *static* cost model ranks
+the configuration space (alpha, delta, superpanel merging, gather-group
+width G, K-chunking C, residual absorption), and an optional *measured*
+mode times the top candidates on the real device, exactly like the
+reference's sweep but guided.
 
-Model (bytes per call, fp32; bf16 halves the gather terms):
-  dense tiles:  (B-gather + A-gather + tile write) per lane column
-  residual:     2*K*4 bytes of gathers + intermediates per nnz
-  matmul time:  group count / measured groups-per-second
+Model constants below are single-chip measurements (TPU v5e, 2026-08;
+methodology in docs/performance.md).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -28,12 +29,40 @@ from sddmm_tpu.reorder.bsmr import BSMR
 from sddmm_tpu.reorder.pack import (GROUP_CELLS, GROUP_LANES, SUPER_CELLS,
                                     PackedMatrix, pack)
 
-# Empirical single-chip constants (TPU v5e via measurement; see
-# docs/performance.md): gather engine ~320 GB/s, dense streams ~800 GB/s,
-# batched (16,128,K=128) matmuls ~10.3 M groups/s (supertiles count 8x).
-GATHER_GBPS = 320.0
-STREAM_GBPS = 800.0
-GROUPS_PER_SEC = 10.3e6
+# -- measured constants (TPU v5e) --
+STREAM_GBPS = 856.0      # sequential HBM read/write
+TAKE_PAYLOAD_CAP_GBPS = 330.0
+# gather row rate (M rows/s) at ~8 MB source, by descriptor bytes
+_ROW_RATE_8MB = {64: 380.0, 128: 374.0, 256: 575.0, 512: 327.0,
+                 1024: 60.0, 2048: 50.0, 4096: 31.0}
+# source-footprint scaling of the row rate
+_SRC_MB = np.array([0.0, 2.0, 4.0, 8.0, 12.0, 16.0, 32.0, 1e9])
+_SRC_F = np.array([4.0, 4.0, 0.95, 1.0, 0.85, 0.30, 0.28, 0.28])
+# batched tile-dot rates (M 16-row groups/s) by (precision, tile height)
+_DOT_G16_MS = {
+    ("float32", 16): 11.0e6, ("float32", 128): 27.0e6,
+    ("tf32", 16): 11.5e6, ("tf32", 128): 54.0e6,
+    ("bfloat16", 16): 185.0e6, ("bfloat16", 128): 360.0e6,
+}
+
+
+def _row_rate(row_bytes: float, src_mb: float) -> float:
+    """Gather descriptors/second for XLA take."""
+    keys = sorted(_ROW_RATE_8MB)
+    rb = min(keys, key=lambda k: abs(np.log(max(row_bytes, 1) / k)))
+    base = _ROW_RATE_8MB[rb] * 1e6
+    f = float(np.interp(src_mb, _SRC_MB, _SRC_F))
+    return base * f
+
+
+def _take_ms(rows: float, row_bytes: float, src_bytes: float) -> float:
+    if rows <= 0:
+        return 0.0
+    payload = rows * row_bytes
+    t_rows = rows / _row_rate(row_bytes, src_bytes / 1e6)
+    t_payload = payload / (TAKE_PAYLOAD_CAP_GBPS * 1e9)
+    t_write = payload / (STREAM_GBPS * 1e9)
+    return max(t_rows, t_payload, t_write) * 1e3
 
 
 @dataclasses.dataclass
@@ -41,65 +70,151 @@ class TunedConfig:
     alpha: float
     delta: float
     merge_superpanels: bool
+    group_size: int
+    k_chunks: int
     est_ms: float
     packed: PackedMatrix
     bsmr: BSMR
+    measured_ms: Optional[float] = None
 
 
 def estimate_ms(packed: PackedMatrix, k: int,
-                compute_dtype: str = "float32") -> float:
+                compute_dtype: str = "tf32", k_chunks: int = 1) -> float:
     """Predicted single-chip kernel time (ms) for one hybrid SDDMM call."""
     el = 2 if compute_dtype == "bfloat16" else 4
-    k_bytes = k * el
+    G, NG, C = packed.group_size, packed.num_col_groups, int(k_chunks)
+    kc = k // C
+    LG = GROUP_LANES // G
+    n_tiles = packed.num_super + packed.num_groups
 
-    # B gather rows: one (K,) row per lane column of every tile.
-    b_rows = packed.num_super * GROUP_LANES + packed.num_groups * GROUP_LANES
+    # B gathers: LG group rows per tile per chunk.
+    b_src = (NG + 1) * G * kc * el
+    t_b = C * _take_ms(n_tiles * LG, G * kc * el, b_src)
+    # A gathers: full-K rows once.
     a_rows = packed.num_super * 128 + packed.num_groups * 16
-    gather_bytes = (b_rows + a_rows) * k_bytes
-    # Residual: A row + B row gathered per nnz, plus elementwise traffic.
-    gather_bytes += 2 * packed.nnz_res * k_bytes
-    # Materialized gather outputs are re-read by the matmul / reduce, and
-    # tiles + residual values are written once (fp32).
-    stream_bytes = (b_rows + a_rows) * k_bytes \
-        + (packed.num_super * SUPER_CELLS
-           + packed.num_groups * GROUP_CELLS) * 4 \
-        + 2 * packed.nnz_res * k_bytes + packed.nnz_res * 4
+    a_src = (packed.m + 1) * k * el
+    t_a = _take_ms(a_rows, k * el, a_src)
+    # Residual gathers: A row once, B group row per chunk.
+    nR = packed.nnz_res
+    t_r = _take_ms(nR, k * el, a_src) \
+        + C * _take_ms(nR, G * kc * el, b_src)
 
-    t_gather = gather_bytes / (GATHER_GBPS * 1e6)   # ms
+    # Streaming: the dot re-reads the gathered operands and writes tiles;
+    # residual elementwise + reduce.
+    cells = (packed.num_super * SUPER_CELLS
+             + packed.num_groups * GROUP_CELLS)
+    gathered = (n_tiles * GROUP_LANES * k + a_rows * k) * el \
+        + nR * (1 + G) * k * el
+    stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
-    t_matmul = (packed.num_groups + 8 * packed.num_super) \
-        / GROUPS_PER_SEC * 1e3 * (k / 128.0) * (2 if el == 4 else 1)
-    # Gather and stream phases barely overlap in practice; matmul overlaps
-    # partially with the gathers.
-    return t_gather + t_stream + max(t_matmul - t_gather, 0.0)
+
+    # MXU.
+    key16 = (compute_dtype, 16)
+    key128 = (compute_dtype, 128)
+    t_mxu = (packed.num_groups / _DOT_G16_MS.get(key16, 11.5e6)
+             + packed.num_super * 8 / _DOT_G16_MS.get(key128, 54.0e6)) \
+        * 1e3 * (k / 128.0)
+
+    t_gather = t_b + t_a + t_r
+    # Gathers and streaming barely overlap; the MXU overlaps with gathers.
+    return t_gather + t_stream + max(t_mxu - t_gather, 0.0)
+
+
+def _candidate_layouts(n: int, k: int, compute_dtype: str):
+    """(G, C) candidates: descriptor width near the 256-512 B sweet spot,
+    source footprint near/below the fast-gather window."""
+    el = 2 if compute_dtype == "bfloat16" else 4
+    gs = {1}
+    for target in (256, 512):
+        g = max(1, target // (k * el))
+        if g > 1:
+            gs.add(1 << int(np.floor(np.log2(g))))
+    cs = {1}
+    src_mb = n * k * el / 1e6
+    if src_mb > 12.0:
+        c = 1 << int(np.ceil(np.log2(src_mb / 8.0)))
+        while c > 1 and k % c:
+            c //= 2
+        if c > 1:
+            cs.add(c)
+    return sorted(gs), sorted(cs)
 
 
 def autotune(csr: CSR, k: int = 128,
              alphas: Sequence[float] = (0.3,),
              deltas: Sequence[float] = (0.0, 0.05, 0.3),
-             compute_dtype: str = "float32",
+             compute_dtype: str = "tf32",
              method: str = "auto",
+             measure: bool = False,
+             measure_top: int = 3,
+             measure_iterations: int = 15,
              verbose: bool = False) -> TunedConfig:
-    """Pick (alpha, delta, merge) minimizing the modeled kernel time.
+    """Pick (alpha, delta, merge, G, C) minimizing modeled kernel time;
+    with ``measure=True`` the top ``measure_top`` candidates are timed on
+    the device and the fastest wins (the reference's empirical sweep,
+    src/sddmm.cu:62-118, guided by the model).
 
     Row reordering is computed once per alpha and reused across deltas
-    (the same reuse trick as the reference's test mode, src/sddmm.cu:64-89).
-    """
-    best: Optional[TunedConfig] = None
+    (the same reuse trick as the reference's test mode)."""
+    gs, cs = _candidate_layouts(csr.n, k, compute_dtype)
+    candidates: list[TunedConfig] = []
+    col_rank_cache: dict[int, np.ndarray] = {}
+
     for alpha in alphas:
-        bsmr = BSMR(alpha, 0.0, csr, method=method, compute=False)
-        bsmr.run_row_reordering(csr)
-        for delta in deltas:
-            bsmr.run_col_reordering(csr, delta=delta)
-            for merge in (False, True):
-                packed = pack(csr, bsmr, merge_superpanels=merge)
-                est = estimate_ms(packed, k, compute_dtype)
-                if verbose:
-                    print(f"  a={alpha} d={delta} merge={merge}: "
-                          f"nS={packed.num_super} nG={packed.num_groups} "
-                          f"res={packed.nnz_res} est={est:.3f}ms")
-                if best is None or est < best.est_ms:
-                    import copy
-                    best = TunedConfig(alpha, delta, merge, est, packed,
-                                       copy.copy(bsmr))
-    return best
+        base = BSMR(alpha, 0.0, csr, method=method, compute=False)
+        base.run_row_reordering(csr)
+        for g in gs:
+            if g > 1 and g not in col_rank_cache:
+                from sddmm_tpu.reorder.cols import cluster_columns
+                order = cluster_columns(csr, alpha, method=method)
+                rank = np.empty(csr.n, dtype=np.int64)
+                rank[order] = np.arange(csr.n)
+                col_rank_cache[g] = rank
+            bsmr = BSMR(alpha, 0.0, csr, method=method, compute=False,
+                        group_size=g,
+                        col_rank=col_rank_cache.get(g))
+            bsmr.reordered_rows = base.reordered_rows
+            bsmr.cluster_ids = base.cluster_ids
+            bsmr.num_clusters = base.num_clusters
+            bsmr.row_reordering_ms = base.row_reordering_ms
+            for delta in deltas:
+                bsmr.run_col_reordering(csr, delta=delta)
+                for merge in (False, True):
+                    packed = pack(csr, bsmr, k_hint=k,
+                                  merge_superpanels=merge)
+                    for c in cs:
+                        est = estimate_ms(packed, k, compute_dtype, c)
+                        if verbose:
+                            print(f"  a={alpha} d={delta} G={g} C={c} "
+                                  f"merge={merge}: nS={packed.num_super} "
+                                  f"nG={packed.num_groups} "
+                                  f"res={packed.nnz_res} est={est:.3f}ms")
+                        import copy
+                        candidates.append(TunedConfig(
+                            alpha, delta, merge, g, c, est, packed,
+                            copy.copy(bsmr)))
+
+    candidates.sort(key=lambda t: t.est_ms)
+    best = candidates[0]
+    if not measure:
+        return best
+
+    # On-device shoot-out between the model's top picks.
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    finalists = candidates[:measure_top]
+    for cand in finalists:
+        runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
+                             k_chunks=cand.k_chunks)
+        a_pad, bt_phys = runner.prepare_operands(a, b=b)
+        cand.measured_ms = runner.measure_kernel_ms(
+            a_pad, bt_phys, iterations=measure_iterations)
+        if verbose:
+            print(f"  measured a={cand.alpha} d={cand.delta} "
+                  f"G={cand.group_size} C={cand.k_chunks} "
+                  f"merge={cand.merge_superpanels}: "
+                  f"{cand.measured_ms:.3f}ms (est {cand.est_ms:.3f})")
+    finalists.sort(key=lambda t: t.measured_ms)
+    return finalists[0]

@@ -25,11 +25,25 @@ class BSMR:
     def __init__(self, alpha: float, delta: float, csr: CSR,
                  method: str = "auto",
                  col_block_size: Optional[int] = None,
+                 group_size: int = 1,
+                 col_rank: Optional[np.ndarray] = None,
+                 cluster_cols: bool = False,
                  compute: bool = True):
         self.alpha = float(alpha)
         self.delta = float(delta)
         self._method = method
         self._col_block_size = col_block_size
+        self.group_size = int(group_size)
+        if col_rank is None and cluster_cols:
+            from sddmm_tpu.reorder.cols import cluster_columns
+            t0 = time.perf_counter()
+            order = cluster_columns(csr, alpha, method=method)
+            col_rank = np.empty(csr.n, dtype=np.int64)
+            col_rank[order] = np.arange(csr.n)
+            self.col_clustering_ms = (time.perf_counter() - t0) * 1e3
+        else:
+            self.col_clustering_ms = 0.0
+        self.col_rank = col_rank
         self.reordered_rows = np.zeros(0, dtype=np.int64)
         self.cluster_ids = np.zeros(csr.m, dtype=np.int64)
         self.num_clusters = 0
@@ -64,7 +78,9 @@ class BSMR:
         if delta is not None:
             self.delta = float(delta)
         t0 = time.perf_counter()
-        cc = col_reordering(csr, self.reordered_rows, self.delta)
+        cc = col_reordering(csr, self.reordered_rows, self.delta,
+                            col_rank=self.col_rank,
+                            group_size=self.group_size)
         self.col_reordering_ms = (time.perf_counter() - t0) * 1e3
         self.num_row_panels = cc.num_row_panels
         self.dense_cols = cc.dense_cols

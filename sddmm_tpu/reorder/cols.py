@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import numpy as np
 
@@ -30,14 +31,60 @@ class ColReorderResult:
     sparse_cols: np.ndarray          # concatenated per-panel sparse cols
     sparse_col_offsets: np.ndarray   # (num_panels+1,)
     sparse_data_offsets: np.ndarray  # (num_panels+1,) nnz counts in sparse part
+    group_size: int = 1              # physical gather-group width G
+    # (n,) rank of each column in the clustered global order (identity when
+    # no clustering was used); dense_cols of grouped splits are G-aligned
+    # runs of ranks expanded back to column ids.
+    col_rank: Optional[np.ndarray] = None
+
+
+def cluster_columns(csr: CSR, alpha: float = 0.3,
+                    method: str = "auto") -> np.ndarray:
+    """Global column-similarity ordering: BSMR's row clustering applied to
+    S^T, so columns that occupy the same row panels become adjacent.
+
+    This is new design surface for the TPU build (no reference
+    counterpart): adjacent similar columns let the packer fetch G columns
+    per gather descriptor (one physical row of the grouped B^T layout) with
+    minimal wasted lanes, which is what makes small-K SDDMM on TPU
+    descriptor-rate-viable.  Returns a permutation of [0, n): column ->
+    position (columns with no nonzeros go last).
+    """
+    from sddmm_tpu.data.sparse import COO
+    from sddmm_tpu.reorder.rows import row_reordering
+
+    coo = csr.to_coo()
+    csc = COO((csr.n, csr.m), coo.cols, coo.rows,
+              coo.values).sorted_by_row().to_csr()
+    rr = row_reordering(csc, alpha, method=method)
+    ordered = rr.reordered_rows.astype(np.int64)
+    missing = np.setdiff1d(np.arange(csr.n, dtype=np.int64), ordered,
+                           assume_unique=False)
+    return np.concatenate([ordered, missing])
 
 
 def col_reordering(csr: CSR, reordered_rows: np.ndarray,
-                   delta: float = config.DEFAULT_DELTA) -> ColReorderResult:
-    """Fully vectorized: one global (panel, col) -> count histogram, one
+                   delta: float = config.DEFAULT_DELTA,
+                   col_rank: Optional[np.ndarray] = None,
+                   group_size: int = 1) -> ColReorderResult:
+    """Per-panel dense/sparse split.
+
+    Default (group_size=1, no col_rank): the reference-faithful per-column
+    split.  With ``group_size`` G > 1 and a clustered ``col_rank``, the
+    dense unit becomes a *physical group* of G rank-adjacent columns
+    (one gather descriptor of the grouped B^T layout); a group is dense in
+    a panel iff its nnz count >= ceil(delta * 16 * G).
+
+    Fully vectorized: one global (panel, col) -> count histogram, one
     lexsort, and segment arithmetic — no per-panel Python loop (the
     reference parallelizes the same loop with OpenMP,
     src/colReordering.cu:292)."""
+    if group_size > 1 or col_rank is not None:
+        if col_rank is None:
+            col_rank = np.arange(csr.n, dtype=np.int64)
+        return _grouped_col_reordering(csr, reordered_rows, delta,
+                                       np.asarray(col_rank, dtype=np.int64),
+                                       int(group_size))
     panel = config.ROW_PANEL_SIZE
     bcol = config.BLOCK_COL_SIZE
     n = csr.n
@@ -111,4 +158,90 @@ def col_reordering(csr: CSR, reordered_rows: np.ndarray,
         sparse_cols=sparse_cols,
         sparse_col_offsets=sparse_off,
         sparse_data_offsets=offsets(sparse_data),
+    )
+
+
+def _grouped_col_reordering(csr: CSR, reordered_rows: np.ndarray,
+                            delta: float, col_rank: np.ndarray,
+                            group_size: int) -> ColReorderResult:
+    """Group-granular dense/sparse split (see col_reordering docstring)."""
+    panel = config.ROW_PANEL_SIZE
+    G = group_size
+    n = csr.n
+    reordered_rows = np.asarray(reordered_rows, dtype=np.int64)
+    num_panels = (len(reordered_rows) + panel - 1) // panel
+    threshold = int(math.ceil(delta * panel * G))
+    num_groups_total = (n + G - 1) // G
+
+    def offsets(c):
+        out = np.zeros(num_panels + 1, dtype=np.int64)
+        np.cumsum(c, out=out[1:])
+        return out
+
+    if num_panels == 0 or csr.nnz == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ColReorderResult(num_panels, z, offsets([]), z,
+                                offsets([]), offsets([]),
+                                group_size=G, col_rank=col_rank)
+
+    # order: rank position -> column id, padded with sentinel n.
+    order = np.full(num_groups_total * G, n, dtype=np.int64)
+    order[col_rank] = np.arange(n, dtype=np.int64)
+
+    row_panel = np.full(csr.m, -1, dtype=np.int64)
+    row_panel[reordered_rows] = np.arange(len(reordered_rows)) // panel
+    entry_panel = row_panel[csr.row_indices().astype(np.int64)]
+    keep = entry_panel >= 0
+    e_panel = entry_panel[keep]
+    e_col = csr.col_idx[keep].astype(np.int64)
+    e_grp = col_rank[e_col] // G
+
+    # (panel, group) histogram.
+    gkeys = e_panel * np.int64(num_groups_total) + e_grp
+    uniq_g, counts_g = np.unique(gkeys, return_counts=True)
+    g_panel = uniq_g // num_groups_total
+    g_grp = uniq_g % num_groups_total
+    g_dense = counts_g >= max(threshold, 1)
+
+    # Dense groups per panel, descending count (ascending group tiebreak).
+    dorder = np.lexsort((g_grp[g_dense], -counts_g[g_dense],
+                         g_panel[g_dense]))
+    dg_panel = g_panel[g_dense][dorder]
+    dg_grp = g_grp[g_dense][dorder]
+    dense_groups_per_panel = np.bincount(
+        dg_panel, minlength=num_panels).astype(np.int64)
+    dense_off = offsets(dense_groups_per_panel * G)
+
+    # Expand groups to their member columns (G-aligned runs).
+    member = (dg_grp[:, None] * G
+              + np.arange(G, dtype=np.int64)[None, :]).reshape(-1)
+    dense_cols = order[member]
+
+    # Entry-level density; sparse residual per (panel, col).
+    dense_lookup = np.zeros(len(uniq_g), dtype=bool)
+    dense_lookup[:] = g_dense
+    pos_in_uniq = np.searchsorted(uniq_g, gkeys)
+    e_dense = dense_lookup[pos_in_uniq]
+    ckeys = e_panel[~e_dense] * np.int64(n) + e_col[~e_dense]
+    uniq_c, counts_c = np.unique(ckeys, return_counts=True)
+    s_panel = uniq_c // n
+    s_col = uniq_c % n
+    sparse_counts = np.bincount(s_panel, minlength=num_panels).astype(
+        np.int64)
+    sparse_off = offsets(sparse_counts)
+    sparse_data = np.bincount(
+        s_panel, weights=counts_c.astype(np.float64),
+        minlength=num_panels).astype(np.int64)
+    # uniq_c is already (panel, col)-sorted, matching sparse_off segments.
+    sparse_cols = s_col
+
+    return ColReorderResult(
+        num_row_panels=num_panels,
+        dense_cols=dense_cols,
+        dense_col_offsets=dense_off,
+        sparse_cols=sparse_cols,
+        sparse_col_offsets=sparse_off,
+        sparse_data_offsets=offsets(sparse_data),
+        group_size=G,
+        col_rank=col_rank,
     )

@@ -1,0 +1,140 @@
+"""Gather-group packing (G>1), column clustering, K-chunking, and residual
+absorption — correctness against the golden SDDMM and structural
+invariants."""
+
+import numpy as np
+import pytest
+
+from sddmm_tpu.data import generate
+from sddmm_tpu.ops.hybrid import HybridSDDMM
+from sddmm_tpu.ops.reference import sddmm_reference
+from sddmm_tpu.reorder.bsmr import BSMR
+from sddmm_tpu.reorder.cols import cluster_columns, col_reordering
+from sddmm_tpu.reorder.pack import pack
+from sddmm_tpu.reorder.validate import check_pack
+from sddmm_tpu.utils.check import check_values
+
+
+def _matrix(seed=0, m=96, n=80):
+    return generate.block_clustered(m // 16, n // 16, block_prob=0.2,
+                                    block_density=0.6,
+                                    noise_density=0.01, seed=seed)
+
+
+def _rank(csr, alpha=0.3):
+    order = cluster_columns(csr, alpha)
+    rank = np.empty(csr.n, dtype=np.int64)
+    rank[order] = np.arange(csr.n)
+    return rank
+
+
+def test_cluster_columns_is_permutation():
+    csr = _matrix()
+    order = cluster_columns(csr, 0.3)
+    assert np.array_equal(np.sort(order), np.arange(csr.n))
+
+
+@pytest.mark.parametrize("group_size", [2, 4])
+def test_grouped_col_reordering_invariants(group_size):
+    csr = _matrix(seed=1)
+    rank = _rank(csr)
+    cc = col_reordering(csr, np.nonzero(csr.row_nnz() > 0)[0], 0.3,
+                        col_rank=rank, group_size=group_size)
+    G = group_size
+    for p in range(cc.num_row_panels):
+        dc = cc.dense_cols[cc.dense_col_offsets[p]:
+                           cc.dense_col_offsets[p + 1]]
+        sc = cc.sparse_cols[cc.sparse_col_offsets[p]:
+                            cc.sparse_col_offsets[p + 1]]
+        assert len(dc) % G == 0, "dense cols not G-aligned"
+        real = dc[dc != csr.n]
+        assert len(np.unique(real)) == len(real), "dup dense col"
+        # every dense run is a rank-adjacent group
+        runs = dc.reshape(-1, G)
+        for run in runs:
+            rr = run[run != csr.n]
+            if len(rr):
+                g = rank[rr] // G
+                assert len(np.unique(g)) == 1, "run spans groups"
+        # dense and sparse disjoint
+        assert not set(real.tolist()) & set(sc.tolist())
+
+
+@pytest.mark.parametrize("group_size,merge,absorb", [
+    (1, False, False), (1, True, True), (2, False, True),
+    (2, True, False), (4, True, True),
+])
+def test_grouped_pack_invariants(group_size, merge, absorb):
+    csr = _matrix(seed=2)
+    rank = _rank(csr) if group_size > 1 else None
+    bsmr = BSMR(0.3, 0.2, csr, group_size=group_size, col_rank=rank)
+    packed = pack(csr, bsmr, merge_superpanels=merge,
+                  absorb_residual=absorb)
+    check_pack(csr, bsmr, packed)
+
+
+def test_absorption_reduces_residual():
+    csr = _matrix(seed=3)
+    bsmr = BSMR(0.3, 0.4, csr)
+    base = pack(csr, bsmr, absorb_residual=False)
+    absorbed = pack(csr, bsmr, absorb_residual=True)
+    assert absorbed.nnz_res <= base.nnz_res
+    assert absorbed.nnz == base.nnz
+
+
+@pytest.mark.parametrize("group_size,k_chunks,merge", [
+    (1, 1, True), (2, 1, False), (2, 2, True), (4, 2, True), (1, 4, False),
+])
+def test_hybrid_grouped_matches_reference(group_size, k_chunks, merge):
+    csr = _matrix(seed=4)
+    k = 32
+    rank = _rank(csr) if group_size > 1 else None
+    bsmr = BSMR(0.3, 0.2, csr, group_size=group_size, col_rank=rank)
+    packed = pack(csr, bsmr, merge_superpanels=merge)
+    runner = HybridSDDMM(packed, compute_dtype="float32",
+                         k_chunks=k_chunks)
+    a = generate.make_dense(csr.m, k, seed=5)
+    b = generate.make_dense(k, csr.n, seed=6)
+    got = np.asarray(runner(a, b, order="csr"))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_device_prepare_matches_host_prepare():
+    import jax.numpy as jnp
+
+    csr = _matrix(seed=7)
+    k = 32
+    rank = _rank(csr)
+    bsmr = BSMR(0.3, 0.2, csr, group_size=2, col_rank=rank)
+    runner = HybridSDDMM(pack(csr, bsmr), compute_dtype="float32",
+                         k_chunks=2)
+    a = generate.make_dense(csr.m, k, seed=8)
+    b = generate.make_dense(k, csr.n, seed=9)
+    a_pad_h, bt_phys_h = runner.prepare_operands(a, b=b)
+
+    bt = np.ascontiguousarray(b.T)
+    a_pad = jnp.asarray(np.concatenate(
+        [a, np.zeros((1, k), np.float32)]))
+    bt_pad = jnp.asarray(np.concatenate(
+        [bt, np.zeros((1, k), np.float32)]))
+    a_pad_d, bt_phys_d = runner.device_prepare(a_pad, bt_pad)
+    np.testing.assert_array_equal(np.asarray(bt_phys_h),
+                                  np.asarray(bt_phys_d))
+    np.testing.assert_array_equal(np.asarray(a_pad_h), np.asarray(a_pad_d))
+
+
+def test_autotune_grouped_candidates():
+    from sddmm_tpu.reorder.autotune import autotune
+
+    csr = _matrix(seed=10)
+    tuned = autotune(csr, k=32, compute_dtype="tf32")
+    runner = HybridSDDMM(tuned.packed, compute_dtype="float32",
+                         k_chunks=tuned.k_chunks)
+    a = generate.make_dense(csr.m, 32, seed=11)
+    b = generate.make_dense(32, csr.n, seed=12)
+    got = np.asarray(runner(a, b, order="csr"))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
