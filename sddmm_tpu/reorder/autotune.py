@@ -31,13 +31,20 @@ from sddmm_tpu.reorder.pack import (GROUP_CELLS, GROUP_LANES, SUPER_CELLS,
 
 # -- measured constants (TPU v5e) --
 STREAM_GBPS = 856.0      # sequential HBM read/write
-TAKE_PAYLOAD_CAP_GBPS = 330.0
+# Uniform-random gather payload cap; repeated indices (the common case for
+# packed tiles, where each column group is fetched by many tiles) run
+# closer to write bandwidth, so the effective cap sits in between.
+TAKE_PAYLOAD_CAP_GBPS = 500.0
 # gather row rate (M rows/s) at ~8 MB source, by descriptor bytes
 _ROW_RATE_8MB = {64: 380.0, 128: 374.0, 256: 575.0, 512: 327.0,
                  1024: 60.0, 2048: 50.0, 4096: 31.0}
-# source-footprint scaling of the row rate
+# source-footprint scaling of the row rate (uniform-random indices; real
+# packings repeat rows, discounted separately via _REPEAT_COST)
 _SRC_MB = np.array([0.0, 2.0, 4.0, 8.0, 12.0, 16.0, 32.0, 1e9])
-_SRC_F = np.array([4.0, 4.0, 0.95, 1.0, 0.85, 0.30, 0.28, 0.28])
+_SRC_F = np.array([4.0, 4.0, 1.1, 1.0, 0.9, 0.45, 0.40, 0.40])
+# A repeated descriptor (row already fetched this call) costs this
+# fraction of a cold one — hot rows stay in the on-chip window.
+_REPEAT_COST = 0.35
 # batched tile-dot rates (M 16-row groups/s) by (precision, tile height)
 _DOT_G16_MS = {
     ("float32", 16): 11.0e6, ("float32", 128): 27.0e6,
@@ -55,11 +62,15 @@ def _row_rate(row_bytes: float, src_mb: float) -> float:
     return base * f
 
 
-def _take_ms(rows: float, row_bytes: float, src_bytes: float) -> float:
+def _take_ms(rows: float, row_bytes: float, src_bytes: float,
+             unique_rows: Optional[float] = None) -> float:
     if rows <= 0:
         return 0.0
+    if unique_rows is None:
+        unique_rows = rows
+    eff_rows = unique_rows + _REPEAT_COST * max(rows - unique_rows, 0)
     payload = rows * row_bytes
-    t_rows = rows / _row_rate(row_bytes, src_bytes / 1e6)
+    t_rows = eff_rows / _row_rate(row_bytes, src_bytes / 1e6)
     t_payload = payload / (TAKE_PAYLOAD_CAP_GBPS * 1e9)
     t_write = payload / (STREAM_GBPS * 1e9)
     return max(t_rows, t_payload, t_write) * 1e3
@@ -87,13 +98,19 @@ def estimate_ms(packed: PackedMatrix, k: int,
     LG = GROUP_LANES // G
     n_tiles = packed.num_super + packed.num_groups
 
-    # B gathers: LG group rows per tile per chunk.
+    # B gathers: LG group rows per tile per chunk; repeated group fetches
+    # (one group used by many tiles) are discounted.
     b_src = (NG + 1) * G * kc * el
-    t_b = C * _take_ms(n_tiles * LG, G * kc * el, b_src)
+    b_rows = n_tiles * LG
+    b_uniq = min(b_rows, len(np.unique(np.concatenate([
+        packed.super_gids.reshape(-1), packed.group_gids.reshape(-1)])))
+        if b_rows else 0)
+    t_b = C * _take_ms(b_rows, G * kc * el, b_src, b_uniq)
     # A gathers: full-K rows once.
     a_rows = packed.num_super * 128 + packed.num_groups * 16
+    a_uniq = min(a_rows, packed.num_panels * 16)
     a_src = (packed.m + 1) * k * el
-    t_a = _take_ms(a_rows, k * el, a_src)
+    t_a = _take_ms(a_rows, k * el, a_src, a_uniq)
     # Residual gathers: A row once, B group row per chunk.
     nR = packed.nnz_res
     t_r = _take_ms(nR, k * el, a_src) \
@@ -199,12 +216,24 @@ def autotune(csr: CSR, k: int = 128,
     if not measure:
         return best
 
-    # On-device shoot-out between the model's top picks.
+    # On-device shoot-out: the model's overall top picks PLUS the best
+    # candidate of every distinct (merge, G, C) shape class — gather cost
+    # is index-distribution-dependent (hot rows cache), so the model's
+    # ranking across classes is approximate and measurement arbitrates.
+    finalists: list[TunedConfig] = []
+    seen_cls = set()
+    for cand in candidates:
+        cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks)
+        if len(finalists) < measure_top or cls not in seen_cls:
+            finalists.append(cand)
+            seen_cls.add(cls)
+        if len(finalists) >= measure_top + 4:
+            break
+
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     a = generate.make_dense(csr.m, k, seed=1)
     b = generate.make_dense(k, csr.n, seed=2)
-    finalists = candidates[:measure_top]
     for cand in finalists:
         runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
                              k_chunks=cand.k_chunks)

@@ -32,6 +32,8 @@ def check_row_reordering(csr: CSR, bsmr: BSMR) -> None:
 
 
 def check_col_reordering(csr: CSR, bsmr: BSMR) -> None:
+    if getattr(bsmr, "group_size", 1) > 1 or bsmr.col_rank is not None:
+        return _check_grouped_col_reordering(csr, bsmr)
     panel_sz = config.ROW_PANEL_SIZE
     bcol = config.BLOCK_COL_SIZE
     n = csr.n
@@ -71,6 +73,53 @@ def check_col_reordering(csr: CSR, bsmr: BSMR) -> None:
         assert scnt == (bsmr.sparse_data_offsets[p + 1]
                         - bsmr.sparse_data_offsets[p]), \
             "sparse data offset mismatch"
+
+
+def _check_grouped_col_reordering(csr: CSR, bsmr: BSMR) -> None:
+    """Grouped-split invariants: G-aligned rank-adjacent dense runs, the
+    per-group density threshold, dense/sparse disjointness, and coverage
+    (dense ∪ sparse ⊇ panel columns — dense groups may carry ride-along
+    member columns the panel never touches; they cost nothing extra)."""
+    panel_sz = config.ROW_PANEL_SIZE
+    G = bsmr.group_size
+    n = csr.n
+    rank = (bsmr.col_rank if bsmr.col_rank is not None
+            else np.arange(n, dtype=np.int64))
+    threshold = max(int(math.ceil(bsmr.delta * panel_sz * G)), 1)
+    for p in range(bsmr.num_row_panels):
+        rows = bsmr.reordered_rows[p * panel_sz:(p + 1) * panel_sz]
+        cols = np.concatenate(
+            [csr.col_idx[csr.row_ptr[r]:csr.row_ptr[r + 1]] for r in rows]
+        ) if len(rows) else np.zeros(0, dtype=np.int64)
+        uniq, counts = np.unique(cols, return_counts=True)
+        grp_count: dict[int, int] = {}
+        for c, cnt in zip(uniq.tolist(), counts.tolist()):
+            g = int(rank[c]) // G
+            grp_count[g] = grp_count.get(g, 0) + cnt
+
+        dc = bsmr.dense_cols[bsmr.dense_col_offsets[p]:
+                             bsmr.dense_col_offsets[p + 1]]
+        sc = bsmr.sparse_cols[bsmr.sparse_col_offsets[p]:
+                              bsmr.sparse_col_offsets[p + 1]]
+        assert len(dc) % G == 0, "dense cols not G-aligned"
+        dc_real = dc[dc != n]
+        assert len(np.unique(dc_real)) == len(dc_real), "dup dense col"
+        assert not set(dc_real.tolist()) & set(sc.tolist()), \
+            "dense and sparse column sets overlap"
+        assert set(dc_real.tolist()) | set(sc.tolist()) >= \
+            set(uniq.tolist()), "dense+sparse misses panel columns"
+        runs = dc.reshape(-1, G)
+        seen_groups = set()
+        for run in runs:
+            rr = run[run != n]
+            assert len(rr) > 0, "all-sentinel dense group"
+            gids = rank[rr] // G
+            assert len(np.unique(gids)) == 1, "dense run spans groups"
+            g = int(gids[0])
+            assert g not in seen_groups, "dup dense group"
+            seen_groups.add(g)
+            assert grp_count.get(g, 0) >= threshold, \
+                f"dense group {g} below threshold {threshold}"
 
 
 def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:

@@ -11,7 +11,7 @@ from sddmm_tpu.ops.reference import sddmm_reference
 from sddmm_tpu.reorder.bsmr import BSMR
 from sddmm_tpu.reorder.cols import cluster_columns, col_reordering
 from sddmm_tpu.reorder.pack import pack
-from sddmm_tpu.reorder.validate import check_pack
+from sddmm_tpu.reorder.validate import check_col_reordering, check_pack
 from sddmm_tpu.utils.check import check_values
 
 
@@ -68,6 +68,7 @@ def test_grouped_pack_invariants(group_size, merge, absorb):
     csr = _matrix(seed=2)
     rank = _rank(csr) if group_size > 1 else None
     bsmr = BSMR(0.3, 0.2, csr, group_size=group_size, col_rank=rank)
+    check_col_reordering(csr, bsmr)
     packed = pack(csr, bsmr, merge_superpanels=merge,
                   absorb_residual=absorb)
     check_pack(csr, bsmr, packed)
