@@ -87,7 +87,8 @@ def run_once(csr, k, alpha, delta, args, input_file):
                  row_reordering_ms=bsmr.row_reordering_ms,
                  col_reordering_ms=bsmr.col_reordering_ms,
                  packing_ms=t_pack.ms,
-                 dense_grid=(packed.num_super, packed.num_groups, 0),
+                 dense_grid=(packed.num_super, packed.num_pairs,
+                             packed.num_groups),
                  sparse_grid=(packed.nnz_res, 0, 0),
                  num_dense_data=packed.nnz_dense,
                  num_sparse_data=packed.nnz_res,
@@ -182,7 +183,8 @@ def _run_sweep_cell(csr, shared_bsmr, k, alpha, delta, args):
                  row_reordering_ms=bsmr.row_reordering_ms,
                  col_reordering_ms=bsmr.col_reordering_ms,
                  packing_ms=t_pack.ms,
-                 dense_grid=(packed.num_super, packed.num_groups, 0),
+                 dense_grid=(packed.num_super, packed.num_pairs,
+                             packed.num_groups),
                  sparse_grid=(packed.nnz_res, 0, 0),
                  num_dense_data=packed.nnz_dense,
                  num_sparse_data=packed.nnz_res,

@@ -1,0 +1,47 @@
+"""Dense-masked SDDMM baseline: compute the full A@B product on the MXU
+and gather the nnz positions.
+
+This is the third comparison point of the harness (alongside the pure-JAX
+CSR gather-dot path, ops/csr_sddmm.py, and the hybrid BSMR path) and the
+dispatch winner for *low-sparsity* matrices: its cost is the dense matmul
+2*M*N*K plus one nnz gather, with zero per-tile index traffic.  The
+reference has no equivalent (its densest baseline is cuSPARSE); on TPU the
+MXU is fast enough that below ~85-90% sparsity this wins outright.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sddmm_tpu.data.sparse import CSR
+
+_PRECISION = {
+    "float32": jax.lax.Precision.HIGHEST,
+    "tf32": jax.lax.Precision.HIGH,
+    "bfloat16": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _dense_masked_jit(a, b, flat_idx, compute_dtype="tf32"):
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    full = jnp.dot(a.astype(dt), b.astype(dt),
+                   preferred_element_type=jnp.float32,
+                   precision=_PRECISION[compute_dtype])
+    return jnp.take(full.reshape(-1), flat_idx)
+
+
+def dense_masked_sddmm(a, b, s: CSR,
+                       compute_dtype: str = "tf32") -> np.ndarray:
+    """(nnz,) values in CSR entry order via full dense product + gather."""
+    rows = s.row_indices().astype(np.int64)
+    flat_idx = jnp.asarray(rows * s.n + s.col_idx.astype(np.int64),
+                           dtype=jnp.int32 if s.m * s.n < 2**31
+                           else jnp.int64)
+    out = _dense_masked_jit(jnp.asarray(a), jnp.asarray(b), flat_idx,
+                            compute_dtype=compute_dtype)
+    return np.asarray(out)

@@ -61,12 +61,13 @@ def _storage_dtype(compute_dtype: str):
 
 @functools.partial(jax.jit,
                    static_argnames=("compute_dtype", "g", "kc"))
-def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, group_rows,
-                       group_gids, res_rows, res_gids, res_member,
-                       compute_dtype="tf32", g=1, kc=0):
+def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
+                       pair_gids, group_rows, group_gids, res_rows,
+                       res_gids, res_member, compute_dtype="tf32", g=1,
+                       kc=0):
     """Hybrid SDDMM producing the *packed-order* flat value vector
-    [supertiles ++ group tiles ++ residual] — the framework's native
-    layout.
+    [supertiles ++ pairs ++ group tiles ++ residual] — the framework's
+    native layout.
 
     a_pad: (M+1, K) with zero sentinel row.
     bt_phys: (C, NG+1, G*Kc) grouped/chunked B^T with zero sentinel rows
@@ -81,11 +82,12 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, group_rows,
     LG = GROUP_LANES // g
 
     # A rows gathered once at full K; B group rows gathered per K-chunk.
-    a_super = jnp.take(a_pad, super_rows, axis=0)   # (nS, 128, K)
-    a_group = jnp.take(a_pad, group_rows, axis=0)   # (nG, 16, K)
+    fams = [(super_rows, super_gids), (pair_rows, pair_gids),
+            (group_rows, group_gids)]
+    a_fams = [jnp.take(a_pad, rows, axis=0) for rows, _ in fams]
     a_res = jnp.take(a_pad, res_rows, axis=0)       # (nR, K)
 
-    def tile_chunk(a_c, bt_c, gids, nt, rows):
+    def tile_chunk(a_c, bt_c, gids, nt):
         bg = jnp.take(bt_c, gids, axis=0)           # (nT, LG, G*Kc)
         bg = bg.reshape(nt, LG, g, kc).reshape(nt, GROUP_LANES, kc)
         return jax.lax.dot_general(
@@ -94,21 +96,17 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, group_rows,
             preferred_element_type=jnp.float32,
             precision=precision)
 
-    nS = super_rows.shape[0]
-    nG = group_rows.shape[0]
     nR = res_rows.shape[0]
-    s_tiles = jnp.zeros((nS, 128, GROUP_LANES), jnp.float32)
-    g_tiles = jnp.zeros((nG, config.ROW_PANEL_SIZE, GROUP_LANES),
-                        jnp.float32)
+    tiles = [jnp.zeros(rows.shape + (GROUP_LANES,), jnp.float32)
+             for rows, _ in fams]
     res = jnp.zeros((nR,), jnp.float32)
     for c in range(C):
         bt_c = bt_phys[c]
-        a_s = jax.lax.slice_in_dim(a_super, c * kc, (c + 1) * kc, axis=2)
-        a_g = jax.lax.slice_in_dim(a_group, c * kc, (c + 1) * kc, axis=2)
-        s_tiles = s_tiles + tile_chunk(a_s, bt_c, super_gids, nS,
-                                       super_rows.shape[1])
-        g_tiles = g_tiles + tile_chunk(a_g, bt_c, group_gids, nG,
-                                       group_rows.shape[1])
+        for i, (rows, gids) in enumerate(fams):
+            a_c = jax.lax.slice_in_dim(a_fams[i], c * kc, (c + 1) * kc,
+                                       axis=2)
+            tiles[i] = tiles[i] + tile_chunk(a_c, bt_c, gids,
+                                             rows.shape[0])
         # Residual: fetch the entry's column group, select member lane.
         br = jnp.take(bt_c, res_gids, axis=0).reshape(nR, g, kc)
         br = jnp.take_along_axis(
@@ -119,7 +117,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, group_rows,
             a_r.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
     return jnp.concatenate(
-        [s_tiles.reshape(-1), g_tiles.reshape(-1), res])
+        [t.reshape(-1) for t in tiles] + [res])
 
 
 @functools.partial(jax.jit, static_argnames=("nnz", "strategy"))
@@ -211,6 +209,10 @@ class HybridSDDMM:
                                            dtype=jnp.int32))
         self._super_gids = put(jnp.asarray(packed.super_gids,
                                            dtype=jnp.int32))
+        self._pair_rows = put(jnp.asarray(packed.pair_rows,
+                                          dtype=jnp.int32))
+        self._pair_gids = put(jnp.asarray(packed.pair_gids,
+                                          dtype=jnp.int32))
         self._group_rows = put(jnp.asarray(packed.group_rows,
                                            dtype=jnp.int32))
         self._group_gids = put(jnp.asarray(packed.group_gids,
@@ -295,6 +297,7 @@ class HybridSDDMM:
         kc = k // bt_phys.shape[0]
         flat = _hybrid_packed_jit(
             a_pad, bt_phys, self._super_rows, self._super_gids,
+            self._pair_rows, self._pair_gids,
             self._group_rows, self._group_gids,
             self._res_rows, self._res_gids, self._res_member,
             compute_dtype=self.compute_dtype,
@@ -340,6 +343,7 @@ class HybridSDDMM:
                 flat = _hybrid_packed_jit(
                     a_pad, bt_phys,
                     mask(self._super_rows), mask(self._super_gids),
+                    mask(self._pair_rows), mask(self._pair_gids),
                     mask(self._group_rows), mask(self._group_gids),
                     mask(self._res_rows), mask(self._res_gids),
                     mask(self._res_member),

@@ -40,7 +40,7 @@ def _pad_to(x: np.ndarray, multiple: int, fill) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
-from sddmm_tpu.reorder.pack import GROUP_CELLS, SUPER_CELLS
+from sddmm_tpu.reorder.pack import GROUP_CELLS, PAIR_CELLS, SUPER_CELLS
 
 
 @dataclasses.dataclass
@@ -48,12 +48,15 @@ class ShardedPack:
     """Device-ready padded/sharded index arrays."""
     super_rows: jax.Array     # ('rows', None) sharded over supertiles
     super_cols: jax.Array     # ('rows', None)
+    pair_rows: jax.Array      # ('rows', None) sharded over pair tiles
+    pair_cols: jax.Array      # ('rows', None)
     group_rows: jax.Array     # ('rows', None) sharded over groups
     group_cols: jax.Array     # ('rows', None)
     res_rows: jax.Array       # ('rows',)
     res_cols: jax.Array       # ('rows',)
     inv_idx: jax.Array        # ('rows',) positions into the *padded* flat
     num_super_padded: int
+    num_pairs_padded: int
     num_groups_padded: int
     num_res_padded: int
 
@@ -65,6 +68,10 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
                          packed.m)
     super_cols = _pad_to(packed.super_cols.astype(np.int32), n_rows,
                          packed.n)
+    pair_rows = _pad_to(packed.pair_rows.astype(np.int32), n_rows,
+                        packed.m)
+    pair_cols = _pad_to(packed.pair_cols.astype(np.int32), n_rows,
+                        packed.n)
     group_rows = _pad_to(packed.group_rows.astype(np.int32), n_rows,
                          packed.m)
     group_cols = _pad_to(packed.group_cols.astype(np.int32), n_rows,
@@ -73,18 +80,23 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     res_cols = _pad_to(packed.res_cols.astype(np.int32), n_rows, packed.n)
 
     ns_pad = super_rows.shape[0]
+    np_pad = pair_rows.shape[0]
     ng_pad = group_rows.shape[0]
     nr_pad = res_rows.shape[0]
     # Recompute inverse index against the padded flat layout:
-    # [ns_pad supertiles][ng_pad group tiles][nr_pad residual]
+    # [ns_pad supertiles][np_pad pairs][ng_pad group tiles][nr_pad res]
     inv = packed.inv_idx.copy()
     s_end = packed.num_super * SUPER_CELLS
-    g_end = s_end + packed.num_groups * GROUP_CELLS
+    p_end = s_end + packed.num_pairs * PAIR_CELLS
+    g_end = p_end + packed.num_groups * GROUP_CELLS
     s_shift = (ns_pad - packed.num_super) * SUPER_CELLS
-    g_shift = s_shift + (ng_pad - packed.num_groups) * GROUP_CELLS
-    in_g = (inv >= s_end) & (inv < g_end)
+    p_shift = s_shift + (np_pad - packed.num_pairs) * PAIR_CELLS
+    g_shift = p_shift + (ng_pad - packed.num_groups) * GROUP_CELLS
+    in_p = (inv >= s_end) & (inv < p_end)
+    in_g = (inv >= p_end) & (inv < g_end)
     in_r = inv >= g_end
-    inv[in_g] += s_shift
+    inv[in_p] += s_shift
+    inv[in_g] += p_shift
     inv[in_r] += g_shift
     inv = _pad_to(inv.astype(np.int64), n_rows, 0)
 
@@ -93,21 +105,24 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     return ShardedPack(
         super_rows=jax.device_put(jnp.asarray(super_rows), shard2),
         super_cols=jax.device_put(jnp.asarray(super_cols), shard2),
+        pair_rows=jax.device_put(jnp.asarray(pair_rows), shard2),
+        pair_cols=jax.device_put(jnp.asarray(pair_cols), shard2),
         group_rows=jax.device_put(jnp.asarray(group_rows), shard2),
         group_cols=jax.device_put(jnp.asarray(group_cols), shard2),
         res_rows=jax.device_put(jnp.asarray(res_rows), shard1),
         res_cols=jax.device_put(jnp.asarray(res_cols), shard1),
         inv_idx=jax.device_put(jnp.asarray(inv), shard1),
         num_super_padded=ns_pad,
+        num_pairs_padded=np_pad,
         num_groups_padded=ng_pad,
         num_res_padded=nr_pad,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
-                     group_cols, res_rows, res_cols, inv_idx,
-                     compute_dtype="float32"):
+def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, pair_rows,
+                     pair_cols, group_rows, group_cols, res_rows, res_cols,
+                     inv_idx, compute_dtype="float32"):
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
     if cdtype != a_pad.dtype:
@@ -122,6 +137,7 @@ def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
             preferred_element_type=jnp.float32, precision=precision)
 
     s_tiles = tiles_of(super_rows, super_cols)
+    p_tiles = tiles_of(pair_rows, pair_cols)
     g_tiles = tiles_of(group_rows, group_cols)
 
     ar = jnp.take(a_pad, res_rows, axis=0)
@@ -129,7 +145,8 @@ def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, group_rows,
     res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
     flat = jnp.concatenate(
-        [s_tiles.reshape(-1), g_tiles.reshape(-1), res])
+        [s_tiles.reshape(-1), p_tiles.reshape(-1), g_tiles.reshape(-1),
+         res])
     return jnp.take(flat, inv_idx)
 
 
@@ -163,6 +180,7 @@ class DistributedHybridSDDMM:
         s = self.sharded
         vals = _dist_hybrid_jit(
             a_pad, bt_pad, s.super_rows, s.super_cols,
+            s.pair_rows, s.pair_cols,
             s.group_rows, s.group_cols,
             s.res_rows, s.res_cols, s.inv_idx,
             compute_dtype=self.compute_dtype)

@@ -47,9 +47,11 @@ _SRC_F = np.array([4.0, 4.0, 1.1, 1.0, 0.9, 0.45, 0.40, 0.40])
 _REPEAT_COST = 0.35
 # batched tile-dot rates (M 16-row groups/s) by (precision, tile height)
 _DOT_G16_MS = {
-    ("float32", 16): 11.0e6, ("float32", 128): 27.0e6,
-    ("tf32", 16): 11.5e6, ("tf32", 128): 54.0e6,
-    ("bfloat16", 16): 185.0e6, ("bfloat16", 128): 360.0e6,
+    ("float32", 16): 11.0e6, ("float32", 32): 33.0e6,
+    ("float32", 128): 27.0e6,
+    ("tf32", 16): 11.5e6, ("tf32", 32): 66.0e6, ("tf32", 128): 54.0e6,
+    ("bfloat16", 16): 185.0e6, ("bfloat16", 32): 500.0e6,
+    ("bfloat16", 128): 360.0e6,
 }
 
 
@@ -96,18 +98,20 @@ def estimate_ms(packed: PackedMatrix, k: int,
     G, NG, C = packed.group_size, packed.num_col_groups, int(k_chunks)
     kc = k // C
     LG = GROUP_LANES // G
-    n_tiles = packed.num_super + packed.num_groups
+    n_tiles = packed.num_super + packed.num_pairs + packed.num_groups
 
     # B gathers: LG group rows per tile per chunk; repeated group fetches
     # (one group used by many tiles) are discounted.
     b_src = (NG + 1) * G * kc * el
     b_rows = n_tiles * LG
     b_uniq = min(b_rows, len(np.unique(np.concatenate([
-        packed.super_gids.reshape(-1), packed.group_gids.reshape(-1)])))
+        packed.super_gids.reshape(-1), packed.pair_gids.reshape(-1),
+        packed.group_gids.reshape(-1)])))
         if b_rows else 0)
     t_b = C * _take_ms(b_rows, G * kc * el, b_src, b_uniq)
     # A gathers: full-K rows once.
-    a_rows = packed.num_super * 128 + packed.num_groups * 16
+    a_rows = (packed.num_super * 128 + packed.num_pairs * 32
+              + packed.num_groups * 16)
     a_uniq = min(a_rows, packed.num_panels * 16)
     a_src = (packed.m + 1) * k * el
     t_a = _take_ms(a_rows, k * el, a_src, a_uniq)
@@ -118,7 +122,9 @@ def estimate_ms(packed: PackedMatrix, k: int,
 
     # Streaming: the dot re-reads the gathered operands and writes tiles;
     # residual elementwise + reduce.
+    from sddmm_tpu.reorder.pack import PAIR_CELLS
     cells = (packed.num_super * SUPER_CELLS
+             + packed.num_pairs * PAIR_CELLS
              + packed.num_groups * GROUP_CELLS)
     gathered = (n_tiles * GROUP_LANES * k + a_rows * k) * el \
         + nR * (1 + G) * k * el
@@ -126,10 +132,12 @@ def estimate_ms(packed: PackedMatrix, k: int,
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
 
     # MXU.
-    key16 = (compute_dtype, 16)
-    key128 = (compute_dtype, 128)
-    t_mxu = (packed.num_groups / _DOT_G16_MS.get(key16, 11.5e6)
-             + packed.num_super * 8 / _DOT_G16_MS.get(key128, 54.0e6)) \
+    t_mxu = (packed.num_groups / _DOT_G16_MS.get((compute_dtype, 16),
+                                                 11.5e6)
+             + packed.num_pairs * 2 / _DOT_G16_MS.get((compute_dtype, 32),
+                                                      66.0e6)
+             + packed.num_super * 8 / _DOT_G16_MS.get((compute_dtype, 128),
+                                                      54.0e6)) \
         * 1e3 * (k / 128.0)
 
     t_gather = t_b + t_a + t_r

@@ -4,19 +4,25 @@
 The reference packs dense blocks as a BELL-style ``blockValues`` array of
 CSR-value indices and scatters WMMA accumulator fragments through it.  On
 TPU we invert the data flow so the hot path has **no scatter at all**, and
-we pack at MXU/VPU lane granularity into up to three tile families:
+we pack at MXU/VPU lane granularity into three dense tile families plus a
+residual:
 
-- **Supertiles (128 x 128)**: aligned runs of 8 row panels whose dense
-  column sets overlap strongly (they are adjacent in *cluster order*, so
-  BSMR's own clustering creates this overlap) are merged into 128-row
-  tiles over the *union* of their dense columns, chunked 128 columns at a
-  time.  Each B column is then gathered once per 128 rows instead of once
-  per 16 — the TPU counterpart of the L2-cache reuse GPUs get for free —
-  and the batched matmul runs at full MXU height (measured ~5-9x the
-  throughput of 16-row tiles at fp32 multi-pass precision).
-- **Groups (16 x 128)**: unmerged panels pack their dense columns
-  lane-width tiles of 128 columns.
-- **Residual**: per-nnz gather-dot COO.
+- **Supertiles (128 x 128)**: an aligned window of 8 row panels merged
+  over the *union* of its dense columns.  Each B column is gathered once
+  per 128 rows instead of once per 16 — the TPU counterpart of the
+  L2-cache reuse GPUs get for free — and the batched matmul runs at full
+  MXU height.
+- **Pairs (32 x 128)**: two adjacent panels (adjacent in *cluster order*,
+  so BSMR's own clustering makes them similar) merged the same way.
+  Measured on v5e, 32-row tiles are the fastest per 16-row slice at
+  multi-pass fp32 precision (~5.7x the 16-row rate), and pairing halves
+  the sentinel-lane padding of the last chunk.
+- **Groups (16 x 128)**: single panels, for windows where even pairwise
+  unions blow up.
+
+The family is chosen **per 8-panel window** by a byte+MXU cost model with
+measured constants; supertiles and pairs additionally dedup columns
+shared by their member panels.
 
 **Gather groups (G)**: columns are optionally pre-clustered by similarity
 (reorder/cols.py cluster_columns) and the packing then works in *physical
@@ -27,17 +33,17 @@ fp32 row is a 128-byte descriptor; the gather engine runs ~6x faster on
 512-byte ones; see docs/performance.md).
 
 **Residual absorption**: sentinel (padding) lanes in the last column-chunk
-of every tile are re-purposed to fetch the panel's highest-count residual
-column groups, turning residual nnz (~2*K*4 B each on the gather-dot path)
-into free riders on MXU lanes that were already paid for.  Entries whose
-column group is fetched by their container for any other reason ride along
-automatically.
+of every container are re-purposed to fetch its highest-count residual
+column groups, turning residual nnz (~2*K*4 B each on the gather-dot
+path) into free riders on MXU lanes that were already paid for.  Entries
+whose column group is fetched by their container for any other reason
+ride along automatically.
 
 The framework's native output layout ("packed order") is the flat vector
-[supertiles ++ group tiles ++ residual]; CSR entry order is an explicit
-conversion through a precomputed permutation (every CSR index appears in
-exactly one packed slot — the invariant the reference's check_rphm
-verifies, src/BSMR.cpp:639-824).
+[supertiles ++ pairs ++ group tiles ++ residual]; CSR entry order is an
+explicit conversion through a precomputed permutation (every CSR index
+appears in exactly one packed slot — the invariant the reference's
+check_rphm verifies, src/BSMR.cpp:639-824).
 
 All index arrays are static-shaped int32; sentinel indices point to an
 appended zero row of A / grouped-B^T so no masking is needed in the
@@ -47,7 +53,6 @@ compute path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
@@ -57,21 +62,28 @@ from sddmm_tpu.reorder.bsmr import BSMR
 
 GROUP_LANES = config.DENSE_GROUP_BLOCKS * config.BLOCK_COL_SIZE  # 128
 GROUP_CELLS = config.ROW_PANEL_SIZE * GROUP_LANES                # 2048
+PAIR_ROWS = 2 * config.ROW_PANEL_SIZE                            # 32
+PAIR_CELLS = PAIR_ROWS * GROUP_LANES                             # 4096
 SUPER_ROWS = 128
 SUPER_CELLS = SUPER_ROWS * GROUP_LANES                           # 16384
 PANELS_PER_SUPER = SUPER_ROWS // config.ROW_PANEL_SIZE           # 8
 
-# Byte-cost-per-128-column-chunk of each family (B gather + A gather +
-# output write, fp32), expressed per column: super 1536 B/col, group
-# 640 B/col — used only for the merge decision inside pack(); the full
-# runtime model lives in reorder/autotune.py.
-_COST_SUPER_PER_COL = (128 + 128 + 128) * 4
-_COST_GROUP_PER_COL = (128 + 16 + 16) * 4
-# Measured (TPU v5e): 128-row-tile batched matmuls are ~6x cheaper per
-# 16-row group than 16-row tiles at multi-pass fp32 precision, so merging
-# is additionally credited with the matmul saving.
-_MXU_GROUP16_NS = 87.0     # 16-row tile, fp32 HIGH (11.5 M groups16/s)
+# Per-window family decision, in nanoseconds.  Gather/stream bytes are
+# converted at the measured effective gather bandwidth; MXU costs are the
+# measured batched-dot rates (fp32 HIGH, docs/performance.md).
+_GATHER_BYTES_PER_NS = 0.42          # ~420 GB/s effective
+_COST_SUPER_PER_COL = (128 + 128 + 128) * 4 / _GATHER_BYTES_PER_NS
+_COST_PAIR_PER_COL = (128 + 32 + 32) * 4 / _GATHER_BYTES_PER_NS
+_COST_GROUP_PER_COL = (128 + 16 + 16) * 4 / _GATHER_BYTES_PER_NS
+_MXU_GROUP16_NS = 87.0     # 16-row tile (11.5 M groups16/s)
+_MXU_PAIR16_NS = 15.2      # per 16-row slice of a 32-row tile (66 M/s)
 _MXU_SUPER16_NS = 18.4     # per 16-row slice of a 128-row tile (54 M/s)
+
+_FAM_SUPER, _FAM_PAIR, _FAM_GROUP = 0, 1, 2
+_FAM_ROWS = {_FAM_SUPER: SUPER_ROWS, _FAM_PAIR: PAIR_ROWS,
+             _FAM_GROUP: config.ROW_PANEL_SIZE}
+_FAM_CELLS = {_FAM_SUPER: SUPER_CELLS, _FAM_PAIR: PAIR_CELLS,
+              _FAM_GROUP: GROUP_CELLS}
 
 
 @dataclasses.dataclass
@@ -85,13 +97,14 @@ class PackedMatrix:
     num_panels: int
     num_blocks: int   # real (unpadded) 16x16 dense blocks, for stats
     num_super: int    # (128, 128) supertiles
+    num_pairs: int    # (32, 128) pair tiles
     num_groups: int   # (16, 128) dense groups
 
     # Gather-group geometry.
     group_size: int          # G: columns per gather descriptor
     num_col_groups: int      # NG: physical rows of the grouped B^T layout
     # (NG*G,) column id stored at each physical slot (sentinel = n); the
-    # host builds bt_phys rows from this (reorder/pack.py docstring).
+    # host builds bt_phys rows from this (ops/hybrid.py build_bt_phys).
     col_order: np.ndarray
 
     # (num_panels * 16,) original row id per reordered slot; sentinel = m.
@@ -101,11 +114,16 @@ class PackedMatrix:
     super_cols: np.ndarray   # (nS, 128) original col ids (sentinel n)
     super_gids: np.ndarray   # (nS, 128/G) physical group row ids (sent NG)
     super_csr: np.ndarray    # (nS, 128, 128) CSR index or -1
+    # Pair family.
+    pair_rows: np.ndarray    # (nP, 32)
+    pair_cols: np.ndarray    # (nP, 128)
+    pair_gids: np.ndarray    # (nP, 128/G)
+    pair_csr: np.ndarray     # (nP, 32, 128)
     # Group family.
-    group_rows: np.ndarray   # (nG, 16) original row ids (sentinel m)
-    group_cols: np.ndarray   # (nG, 128) original col ids (sentinel n)
-    group_gids: np.ndarray   # (nG, 128/G) physical group row ids (sent NG)
-    group_csr: np.ndarray    # (nG, 16, 128) CSR index or -1
+    group_rows: np.ndarray   # (nG, 16)
+    group_cols: np.ndarray   # (nG, 128)
+    group_gids: np.ndarray   # (nG, 128/G)
+    group_csr: np.ndarray    # (nG, 16, 128)
     # Residual COO (absolute ids).
     res_rows: np.ndarray     # (nnz_res,) original row ids
     res_cols: np.ndarray     # (nnz_res,) original col ids
@@ -121,7 +139,7 @@ class PackedMatrix:
 
     @property
     def packed_size(self) -> int:
-        return (self.num_super * SUPER_CELLS
+        return (self.num_super * SUPER_CELLS + self.num_pairs * PAIR_CELLS
                 + self.num_groups * GROUP_CELLS + self.nnz_res)
 
     @property
@@ -136,7 +154,8 @@ class PackedMatrix:
     def average_block_density(self) -> float:
         """nnz density over dense tile cells (reference metric analogue,
         src/BSMR.cpp:334-442)."""
-        cells = self.num_super * SUPER_CELLS + self.num_groups * GROUP_CELLS
+        cells = (self.num_super * SUPER_CELLS + self.num_pairs * PAIR_CELLS
+                 + self.num_groups * GROUP_CELLS)
         return self.nnz_dense / cells if cells else 0.0
 
 
@@ -162,6 +181,7 @@ def _panel_group_lists(bsmr: BSMR, n: int, num_panels: int):
 
 def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          merge_superpanels: bool = True,
+         pair_panels: bool = True,
          absorb_residual: bool = True) -> PackedMatrix:
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
@@ -169,7 +189,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     LG = GROUP_LANES // G            # groups per 128-lane tile chunk
     reordered = bsmr.reordered_rows
     num_panels = bsmr.num_row_panels
-    row_ptr, col_idx = csr.row_ptr, csr.col_idx
+    col_idx = csr.col_idx
     NG = (n + G - 1) // G if G > 1 else n
 
     # Physical column layout: slot g*G+j holds the column with rank g*G+j.
@@ -215,7 +235,85 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
 
     panel_groups = _panel_group_lists(bsmr, n, num_panels)
 
-    # --- residual candidates per (panel, group) for absorption ---
+    def padded(x: int) -> int:
+        return -(-x // LG) * LG
+
+    # --- Per 8-panel window: choose group / pair / super by cost ---
+    # Containers: (family, member panel list, group-id list).
+    cont_family: list[int] = []
+    cont_panels: list[list[int]] = []
+    cont_groups: list[np.ndarray] = []
+    panel_container = np.full(num_panels, -1, dtype=np.int64)
+    panel_offset = np.zeros(num_panels, dtype=np.int64)  # 16-row slot
+
+    num_windows = (num_panels + PANELS_PER_SUPER - 1) // PANELS_PER_SUPER
+    for w in range(num_windows):
+        ps = [p for p in range(w * PANELS_PER_SUPER,
+                               min((w + 1) * PANELS_PER_SUPER, num_panels))]
+        lists = [panel_groups[p] for p in ps]
+        if sum(len(x) for x in lists) == 0:
+            continue  # dense-free window: everything residual
+        lane_b = G  # one lane fetches G columns; costs are per group-lane
+        cost_group = sum(
+            _COST_GROUP_PER_COL * lane_b * padded(len(x))
+            + _MXU_GROUP16_NS * (padded(len(x)) // LG)
+            for x in lists if len(x))
+        pair_lists = []
+        cost_pair = 0.0
+        for i in range(0, len(ps), 2):
+            chunk = [x for x in lists[i:i + 2] if len(x)]
+            u = (np.unique(np.concatenate(chunk)) if chunk
+                 else np.zeros(0, dtype=np.int64))
+            pair_lists.append(u)
+            if len(u):
+                cost_pair += (_COST_PAIR_PER_COL * lane_b * padded(len(u))
+                              + _MXU_PAIR16_NS * 2 * (padded(len(u)) // LG))
+        union = np.unique(np.concatenate([x for x in lists if len(x)]))
+        cost_super = (_COST_SUPER_PER_COL * lane_b * padded(len(union))
+                      + _MXU_SUPER16_NS * 8 * (padded(len(union)) // LG))
+
+        options = [( "group", cost_group)]
+        if pair_panels:
+            options.append(("pair", cost_pair))
+        if merge_superpanels:
+            options.append(("super", cost_super))
+        mode = min(options, key=lambda t: t[1])[0]
+
+        if mode == "super":
+            cid = len(cont_family)
+            cont_family.append(_FAM_SUPER)
+            cont_panels.append(ps)
+            cont_groups.append(union)
+            for j, p in enumerate(ps):
+                panel_container[p] = cid
+                panel_offset[p] = j
+        elif mode == "pair":
+            for i in range(0, len(ps), 2):
+                members = ps[i:i + 2]
+                u = pair_lists[i // 2]
+                if not len(u):
+                    continue
+                cid = len(cont_family)
+                cont_family.append(_FAM_PAIR)
+                cont_panels.append(members)
+                cont_groups.append(u)
+                for j, p in enumerate(members):
+                    panel_container[p] = cid
+                    panel_offset[p] = j
+        else:
+            for i, p in enumerate(ps):
+                if not len(lists[i]):
+                    continue
+                cid = len(cont_family)
+                cont_family.append(_FAM_GROUP)
+                cont_panels.append([p])
+                cont_groups.append(lists[i])
+                panel_container[p] = cid
+                panel_offset[p] = 0
+
+    num_cont = len(cont_family)
+
+    # --- Entry coordinates ---
     rpos = np.full(m, -1, dtype=np.int64)
     rpos[reordered] = np.arange(len(reordered))
     entry_rows = csr.row_indices().astype(np.int64)
@@ -224,198 +322,123 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     local_e = np.where(er >= 0, er % panel_sz, 0)
     entry_gid = gid_of(col_idx.astype(np.int64))
     entry_member = member_of(col_idx.astype(np.int64))
+    cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
-    # --- Decide which aligned 8-panel runs merge into supertiles ---
-    num_runs = (num_panels + PANELS_PER_SUPER - 1) // PANELS_PER_SUPER
-    merged_run = np.zeros(num_runs, dtype=bool)
-    unions: list[Optional[np.ndarray]] = [None] * num_runs
-    if merge_superpanels:
-        for run in range(num_runs):
-            ps = range(run * PANELS_PER_SUPER,
-                       min((run + 1) * PANELS_PER_SUPER, num_panels))
-            lists = [panel_groups[p] for p in ps]
-            total = sum(len(c) for c in lists)
-            if total == 0:
-                continue
-            union = np.unique(np.concatenate(lists))
-            cu_pad = -(-len(union) // LG) * LG
-            sum_cp_pad = sum(-(-len(c) // LG) * LG for c in lists if len(c))
-            cost_super = (_COST_SUPER_PER_COL * G * cu_pad
-                          + _MXU_SUPER16_NS * 8 * (cu_pad / LG) * 0.8)
-            cost_group = (_COST_GROUP_PER_COL * G * sum_cp_pad
-                          + _MXU_GROUP16_NS * (sum_cp_pad / LG) * 0.8)
-            if cost_super < cost_group:
-                merged_run[run] = True
-                unions[run] = union
-
-    # --- Absorption bookkeeping: residual (container, gid) counts ---
-    # Containers share one key space: run ids [0, num_runs), then
-    # num_runs + panel for unmerged panels.
-    run_e = np.where(panel_e >= 0, panel_e // PANELS_PER_SUPER, -1)
-    merged_e = (merged_run[run_e] & (run_e >= 0)) if num_runs \
-        else np.zeros(len(entry_rows), dtype=bool)
-    cont_e = np.where(merged_e, run_e, num_runs + panel_e)
-    cont_e = np.where(panel_e >= 0, cont_e, -1)
-
-    if absorb_residual:
-        # Entries NOT covered by their container's dense groups.
-        cont_tables = {}
-        for run in np.nonzero(merged_run)[0]:
-            cont_tables[run] = unions[run]
-        for p in range(num_panels):
-            if not (num_runs and merged_run[p // PANELS_PER_SUPER]):
-                cont_tables[num_runs + p] = panel_groups[p]
+    # --- Residual absorption into sentinel lanes of the last chunk ---
+    if absorb_residual and num_cont:
         ckeys = cont_e * np.int64(NG + 1) + entry_gid
-        flat_cont, flat_gid = [], []
-        for c, arr in cont_tables.items():
-            flat_cont.append(np.full(len(arr), c, dtype=np.int64))
-            flat_gid.append(np.asarray(arr, dtype=np.int64))
+        tk = np.sort(np.concatenate(
+            [np.full(len(gset), cid, dtype=np.int64) * np.int64(NG + 1)
+             + np.asarray(gset, dtype=np.int64)
+             for cid, gset in enumerate(cont_groups)]))
         covered = np.zeros(len(entry_rows), dtype=bool)
-        if flat_cont:
-            tk = np.concatenate(flat_cont) * np.int64(NG + 1) + \
-                np.concatenate(flat_gid)
-            tk = np.sort(tk)
-            if len(tk):
-                j = np.minimum(np.searchsorted(tk, ckeys), len(tk) - 1)
-                covered = (tk[j] == ckeys) & (cont_e >= 0)
+        if len(tk):
+            j = np.minimum(np.searchsorted(tk, ckeys), len(tk) - 1)
+            covered = (tk[j] == ckeys) & (cont_e >= 0)
         miss = (~covered) & (cont_e >= 0)
-        mkeys = ckeys[miss]
-        uk, ucnt = np.unique(mkeys, return_counts=True)
+        uk, ucnt = np.unique(ckeys[miss], return_counts=True)
         u_cont = uk // (NG + 1)
         u_gid = uk % (NG + 1)
-        # Per container: sentinel slots available in the last chunk.
         order_ = np.lexsort((-ucnt, u_cont))
-        u_cont, u_gid, ucnt = u_cont[order_], u_gid[order_], ucnt[order_]
-        start = np.searchsorted(u_cont, np.arange(num_runs + num_panels))
-        end = np.searchsorted(u_cont, np.arange(num_runs + num_panels),
-                              side="right")
-        for c, table in cont_tables.items():
-            nreal = len(table)
-            if nreal == 0:
-                continue  # no tile exists; nothing to absorb into
-            free = (-(-nreal // LG)) * LG - nreal
-            if free <= 0:
+        u_cont, u_gid = u_cont[order_], u_gid[order_]
+        start = np.searchsorted(u_cont, np.arange(num_cont))
+        end = np.searchsorted(u_cont, np.arange(num_cont), side="right")
+        for cid in range(num_cont):
+            nreal = len(cont_groups[cid])
+            free = padded(nreal) - nreal
+            if free <= 0 or end[cid] <= start[cid]:
                 continue
-            s, e = start[c], end[c]
-            pick = u_gid[s:e][:free]
+            pick = u_gid[start[cid]:end[cid]][:free]
             if len(pick):
-                if c < num_runs:
-                    unions[c] = np.sort(np.concatenate([unions[c], pick]))
-                else:
-                    panel_groups[c - num_runs] = np.concatenate(
-                        [panel_groups[c - num_runs], pick])
+                cont_groups[cid] = np.concatenate([cont_groups[cid], pick])
 
-    # --- Supertile family ---
-    def pad_groups(g: np.ndarray) -> np.ndarray:
-        pad = (-len(g)) % LG
-        if pad:
-            return np.concatenate([g, np.full(pad, NG, dtype=np.int64)])
-        return g
+    # --- Build the three tile families ---
+    fam_tiles: dict[int, list[tuple[int, np.ndarray]]] = {
+        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+    cont_tile_base = np.zeros(num_cont, dtype=np.int64)
+    for cid in range(num_cont):
+        f = cont_family[cid]
+        g = cont_groups[cid]
+        gp = np.concatenate(
+            [g, np.full(padded(len(g)) - len(g), NG, dtype=np.int64)])
+        cont_tile_base[cid] = len(fam_tiles[f])
+        for c0 in range(0, len(gp), LG):
+            fam_tiles[f].append((cid, gp[c0:c0 + LG]))
 
-    super_chunks = []  # (run, chunk group ids) per 128-lane chunk
-    for run in np.nonzero(merged_run)[0]:
-        u = pad_groups(unions[run])
-        for c0 in range(0, len(u), LG):
-            super_chunks.append((run, u[c0:c0 + LG]))
-    num_super = len(super_chunks)
-    super_rows = np.full((num_super, SUPER_ROWS), m, dtype=np.int64)
-    super_gids = np.full((num_super, LG), NG, dtype=np.int64)
-    run_super_base = {}
-    for s, (run, chunk) in enumerate(super_chunks):
-        if run not in run_super_base:
-            run_super_base[run] = s
-        r0 = run * SUPER_ROWS
-        rows = a_row_gather[r0:r0 + SUPER_ROWS]
-        super_rows[s, :len(rows)] = rows
-        super_gids[s] = chunk
-    super_cols = cols_of_groups(super_gids.reshape(-1)).reshape(
-        num_super, GROUP_LANES)
+    def build_family(f: int):
+        rows_h = _FAM_ROWS[f]
+        tiles = fam_tiles[f]
+        nT = len(tiles)
+        t_rows = np.full((nT, rows_h), m, dtype=np.int64)
+        t_gids = np.full((nT, LG), NG, dtype=np.int64)
+        for t, (cid, chunk) in enumerate(tiles):
+            for j, p in enumerate(cont_panels[cid]):
+                rows = a_row_gather[p * panel_sz:(p + 1) * panel_sz]
+                t_rows[t, j * panel_sz:j * panel_sz + len(rows)] = rows
+            t_gids[t] = chunk
+        t_cols = cols_of_groups(t_gids.reshape(-1)).reshape(nT, GROUP_LANES)
+        t_csr = np.full((nT, rows_h, GROUP_LANES), config.NULL_INDEX,
+                        dtype=np.int64)
+        return t_rows, t_gids, t_cols, t_csr
 
-    # --- Group family (unmerged panels) ---
-    group_panels = []
-    panel_group_base = {}
-    for p in range(num_panels):
-        if num_runs and merged_run[p // PANELS_PER_SUPER]:
-            continue
-        pg = pad_groups(panel_groups[p])
-        if len(pg):
-            panel_group_base[p] = len(group_panels)
-        for c0 in range(0, len(pg), LG):
-            group_panels.append((p, pg[c0:c0 + LG]))
-    num_groups = len(group_panels)
-    group_rows = np.full((num_groups, panel_sz), m, dtype=np.int64)
-    group_gids = np.full((num_groups, LG), NG, dtype=np.int64)
-    for g, (p, chunk) in enumerate(group_panels):
-        rows = a_row_gather[p * panel_sz:(p + 1) * panel_sz]
-        group_rows[g, :len(rows)] = rows
-        group_gids[g] = chunk
-    group_cols = cols_of_groups(group_gids.reshape(-1)).reshape(
-        num_groups, GROUP_LANES)
+    super_rows, super_gids, super_cols, super_csr = build_family(_FAM_SUPER)
+    pair_rows_a, pair_gids, pair_cols, pair_csr = build_family(_FAM_PAIR)
+    group_rows, group_gids, group_cols, group_csr = build_family(_FAM_GROUP)
+    num_super, num_pairs, num_groups = (len(fam_tiles[_FAM_SUPER]),
+                                        len(fam_tiles[_FAM_PAIR]),
+                                        len(fam_tiles[_FAM_GROUP]))
+
+    base_super = 0
+    base_pair = num_super * SUPER_CELLS
+    base_group = base_pair + num_pairs * PAIR_CELLS
+    dense_slots = base_group + num_groups * GROUP_CELLS
+    fam_base = {_FAM_SUPER: base_super, _FAM_PAIR: base_pair,
+                _FAM_GROUP: base_group}
 
     # --- Join each nnz entry against its container's group table ---
-    dense_slots_super = num_super * SUPER_CELLS
-    super_csr = np.full((num_super, SUPER_ROWS, GROUP_LANES),
-                        config.NULL_INDEX, dtype=np.int64)
-    group_csr = np.full((num_groups, panel_sz, GROUP_LANES),
-                        config.NULL_INDEX, dtype=np.int64)
-
-    tab_cont_l, tab_gid_l, tab_tile_l, tab_lgrp_l = [], [], [], []
-    for run in np.nonzero(merged_run)[0]:
-        u = pad_groups(unions[run])
-        real = u < NG
-        pos = np.arange(len(u), dtype=np.int64)
-        tab_cont_l.append(np.full(int(real.sum()), run, dtype=np.int64))
-        tab_gid_l.append(u[real])
-        tab_tile_l.append(run_super_base[run] + pos[real] // LG)
-        tab_lgrp_l.append(pos[real] % LG)
-    for p, gbase in panel_group_base.items():
-        pg = pad_groups(panel_groups[p])
-        real = pg < NG
-        pos = np.arange(len(pg), dtype=np.int64)
-        tab_cont_l.append(np.full(int(real.sum()), num_runs + p,
-                                  dtype=np.int64))
-        tab_gid_l.append(pg[real])
-        tab_tile_l.append(gbase + pos[real] // LG)
-        tab_lgrp_l.append(pos[real] % LG)
-
-    def cat(parts):
-        return (np.concatenate(parts) if parts
-                else np.zeros(0, dtype=np.int64))
-
-    tab_cont = cat(tab_cont_l)
-    tab_gid = cat(tab_gid_l)
-    tab_tile = cat(tab_tile_l)
-    tab_lgrp = cat(tab_lgrp_l)
-    tab_key = tab_cont * np.int64(NG + 1) + tab_gid
-    order_t = np.argsort(tab_key)
-    tab_key = tab_key[order_t]
-    tab_tile = tab_tile[order_t]
-    tab_lgrp = tab_lgrp[order_t]
+    tab_key_l, tab_slotbase_l = [], []
+    for f, tiles in fam_tiles.items():
+        cells = _FAM_CELLS[f]
+        for t, (cid, chunk) in enumerate(tiles):
+            real = chunk < NG
+            pos = np.arange(len(chunk), dtype=np.int64)[real]
+            tab_key_l.append(np.full(len(pos), cid, dtype=np.int64)
+                             * np.int64(NG + 1) + chunk[real])
+            # slot of (tile, lane_grp) at local row 0, lane member 0
+            tab_slotbase_l.append(fam_base[f] + t * cells
+                                  + pos * np.int64(G))
+    if tab_key_l:
+        tab_key = np.concatenate(tab_key_l)
+        tab_slotbase = np.concatenate(tab_slotbase_l)
+        order_t = np.argsort(tab_key)
+        tab_key = tab_key[order_t]
+        tab_slotbase = tab_slotbase[order_t]
+    else:
+        tab_key = np.zeros(0, dtype=np.int64)
+        tab_slotbase = np.zeros(0, dtype=np.int64)
 
     ekey = cont_e * np.int64(NG + 1) + entry_gid
     if len(tab_key):
-        j = np.searchsorted(tab_key, ekey)
-        j_clip = np.minimum(j, len(tab_key) - 1)
-        matched = (tab_key[j_clip] == ekey) & (cont_e >= 0)
-        tile_e = tab_tile[j_clip]
-        lane_e = tab_lgrp[j_clip] * G + entry_member
+        j = np.minimum(np.searchsorted(tab_key, ekey), len(tab_key) - 1)
+        matched = (tab_key[j] == ekey) & (cont_e >= 0)
+        slot_base = tab_slotbase[j]
     else:
         matched = np.zeros(csr.nnz, dtype=bool)
-        tile_e = np.zeros(csr.nnz, dtype=np.int64)
-        lane_e = np.zeros(csr.nnz, dtype=np.int64)
+        slot_base = np.zeros(csr.nnz, dtype=np.int64)
 
-    local128 = (panel_e % PANELS_PER_SUPER) * panel_sz + local_e
-    slot = np.where(
-        merged_e,
-        tile_e * SUPER_CELLS + local128 * GROUP_LANES + lane_e,
-        dense_slots_super + tile_e * GROUP_CELLS
-        + local_e * GROUP_LANES + lane_e)
+    local_row = np.where(cont_e >= 0,
+                         panel_offset[np.maximum(panel_e, 0)] * panel_sz
+                         + local_e, 0)
+    slot = slot_base + local_row * GROUP_LANES + entry_member
 
     entry_idx = np.arange(csr.nnz, dtype=np.int64)
-    sm = matched & merged_e
-    gm = matched & ~merged_e
-    super_csr.reshape(-1)[slot[sm]] = entry_idx[sm]
-    group_csr.reshape(-1)[slot[gm] - dense_slots_super] = entry_idx[gm]
+    dense_flat = np.concatenate([super_csr.reshape(-1),
+                                 pair_csr.reshape(-1),
+                                 group_csr.reshape(-1)])
+    dense_flat[slot[matched]] = entry_idx[matched]
+    super_csr = dense_flat[:base_pair].reshape(super_csr.shape)
+    pair_csr = dense_flat[base_pair:base_group].reshape(pair_csr.shape)
+    group_csr = dense_flat[base_group:].reshape(group_csr.shape)
 
     rest = ~matched
     res_rows = entry_rows[rest]
@@ -426,13 +449,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
 
     # Inverse permutation: CSR entry -> packed slot.
     inv_idx = np.full(csr.nnz, -1, dtype=np.int64)
-    sflat = super_csr.reshape(-1)
-    svalid = sflat >= 0
-    inv_idx[sflat[svalid]] = np.nonzero(svalid)[0]
-    gflat = group_csr.reshape(-1)
-    gvalid = gflat >= 0
-    inv_idx[gflat[gvalid]] = dense_slots_super + np.nonzero(gvalid)[0]
-    dense_slots = dense_slots_super + num_groups * GROUP_CELLS
+    inv_idx[entry_idx[matched]] = slot[matched]
     inv_idx[res_csr] = dense_slots + np.arange(len(res_csr), dtype=np.int64)
     if np.any(inv_idx < 0):
         missing = int(np.count_nonzero(inv_idx < 0))
@@ -448,9 +465,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                 np.where(valid3, slot_cols, n).reshape(-1))
 
     sr, sc = family_meta(super_csr, super_rows, super_cols)
+    pr, pc = family_meta(pair_csr, pair_rows_a, pair_cols)
     gr, gc = family_meta(group_csr, group_rows, group_cols)
-    packed_rows = np.concatenate([sr, gr, res_rows])
-    packed_cols = np.concatenate([sc, gc, res_cols])
+    packed_rows = np.concatenate([sr, pr, gr, res_rows])
+    packed_cols = np.concatenate([sc, pc, gc, res_cols])
     F = dense_slots + len(res_csr)
     csr_dest = np.full(F, -1, dtype=np.int64)
     csr_dest[inv_idx] = np.arange(csr.nnz)
@@ -460,12 +478,14 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     return PackedMatrix(
         m=m, n=n, k_hint=k_hint, nnz=csr.nnz,
         num_panels=num_panels, num_blocks=num_blocks,
-        num_super=num_super, num_groups=num_groups,
+        num_super=num_super, num_pairs=num_pairs, num_groups=num_groups,
         group_size=G, num_col_groups=NG,
         col_order=col_order,
         a_row_gather=a_row_gather,
         super_rows=super_rows, super_cols=super_cols,
         super_gids=super_gids.astype(np.int32), super_csr=super_csr,
+        pair_rows=pair_rows_a.astype(np.int32), pair_cols=pair_cols,
+        pair_gids=pair_gids.astype(np.int32), pair_csr=pair_csr,
         group_rows=group_rows.astype(np.int32),
         group_cols=group_cols,
         group_gids=group_gids.astype(np.int32),

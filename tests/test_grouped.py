@@ -139,3 +139,25 @@ def test_autotune_grouped_candidates():
     want = sddmm_reference(a, b, csr)
     res = check_values(want, got)
     assert res.passed, str(res)
+
+
+def test_pair_family_used_and_correct():
+    """Adjacent similar panels should form 32-row pair tiles; results
+    must stay exact."""
+    csr = _matrix(seed=20, m=128, n=96)
+    k = 32
+    bsmr = BSMR(0.3, 0.2, csr)
+    packed = pack(csr, bsmr, merge_superpanels=False, pair_panels=True)
+    packed_nopair = pack(csr, bsmr, merge_superpanels=False,
+                         pair_panels=False)
+    assert packed_nopair.num_pairs == 0
+    check_pack(csr, bsmr, packed)
+    check_pack(csr, bsmr, packed_nopair)
+    a = generate.make_dense(csr.m, k, seed=21)
+    b = generate.make_dense(k, csr.n, seed=22)
+    want = sddmm_reference(a, b, csr)
+    for p in (packed, packed_nopair):
+        runner = HybridSDDMM(p, compute_dtype="float32")
+        got = np.asarray(runner(a, b, order="csr"))
+        res = check_values(want, got)
+        assert res.passed, str(res)

@@ -85,3 +85,20 @@ def test_batched_transpose():
     x = rng.random((4, 7, 5)).astype(np.float32)
     got = np.asarray(batched_transpose(x))
     np.testing.assert_array_equal(got, np.swapaxes(x, 1, 2))
+
+
+def test_dense_masked_sddmm_matches_reference():
+    from sddmm_tpu.ops.dense import dense_masked_sddmm
+    a, b, s = _mats(m=100, n=80, k=32, density=0.3, seed=9)
+    got = dense_masked_sddmm(a, b, s, compute_dtype="float32")
+    want = sddmm_reference(a, b, s)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_profiling_wrappers_noop_safe(tmp_path):
+    import jax.numpy as jnp
+    from sddmm_tpu.utils.profiling import annotate, trace
+    with trace(tmp_path):
+        with annotate("stage"):
+            assert float(jnp.asarray(1.0) + 1.0) == 2.0
