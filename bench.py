@@ -67,6 +67,7 @@ def main():
             print(msg, file=sys.stderr)
 
     results = {}
+    sols = {}
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
@@ -84,10 +85,23 @@ def main():
             order="packed")
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
+        # Speed-of-light: minimum HBM bytes any tile approach must move
+        # (gathered B lanes + A rows + packed output, one stream pass
+        # each) at the measured stream bandwidth.
+        el = 2 if args.compute_dtype == "bfloat16" else 4
+        lanes = (packed.num_super + packed.num_pairs
+                 + packed.num_groups) * 128
+        a_rows = (packed.num_super * 128 + packed.num_pairs * 32
+                  + packed.num_groups * 16)
+        sol_bytes = (lanes + a_rows) * args.k * el \
+            + packed.packed_size * 4 \
+            + packed.nnz_res * 2 * args.k * el
+        sol_ms = sol_bytes / 856e6
+        sols[name] = round(sol_ms / ms, 3)
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
             f"G={tuned.group_size} C={tuned.k_chunks} "
             f"merge={tuned.merge_superpanels}) nS={packed.num_super} "
-            f"nG={packed.num_groups} res={packed.nnz_res} "
+            f"nP={packed.num_pairs} nG={packed.num_groups} res={packed.nnz_res} "
             f"est={tuned.est_ms:.3f}ms meas={ms:.3f}ms gflops={g:.0f} "
             f"({time.perf_counter() - t0:.0f}s total)")
 
@@ -99,6 +113,7 @@ def main():
         "unit": "GFLOPS",
         "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS_K128, 3),
         "per_matrix": {k: round(v, 1) for k, v in results.items()},
+        "sol_fraction": sols,
     }))
 
 

@@ -60,11 +60,12 @@ def _storage_dtype(compute_dtype: str):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("compute_dtype", "g", "kc"))
+                   static_argnames=("compute_dtype", "g", "kc",
+                                    "pallas_dots"))
 def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
                        pair_gids, group_rows, group_gids, res_rows,
                        res_gids, res_member, compute_dtype="tf32", g=1,
-                       kc=0):
+                       kc=0, pallas_dots=False):
     """Hybrid SDDMM producing the *packed-order* flat value vector
     [supertiles ++ pairs ++ group tiles ++ residual] — the framework's
     native layout.
@@ -90,6 +91,9 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
     def tile_chunk(a_c, bt_c, gids, nt):
         bg = jnp.take(bt_c, gids, axis=0)           # (nT, LG, G*Kc)
         bg = bg.reshape(nt, LG, g, kc).reshape(nt, GROUP_LANES, kc)
+        if pallas_dots and compute_dtype == "tf32" and nt:
+            from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
+            return tile_dot_padded(a_c, bg)
         return jax.lax.dot_general(
             a_c, bg,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -199,11 +203,12 @@ class HybridSDDMM:
 
     def __init__(self, packed: PackedMatrix, compute_dtype: str = "tf32",
                  device=None, default_order: str = "packed",
-                 k_chunks: int = 1):
+                 k_chunks: int = 1, use_pallas: bool = False):
         self.packed = packed
         self.compute_dtype = compute_dtype
         self.default_order = default_order
         self.k_chunks = int(k_chunks)
+        self.use_pallas = bool(use_pallas)
         put = functools.partial(jax.device_put, device=device)
         self._super_rows = put(jnp.asarray(packed.super_rows,
                                            dtype=jnp.int32))
@@ -301,7 +306,8 @@ class HybridSDDMM:
             self._group_rows, self._group_gids,
             self._res_rows, self._res_gids, self._res_member,
             compute_dtype=self.compute_dtype,
-            g=self.packed.group_size, kc=kc)
+            g=self.packed.group_size, kc=kc,
+            pallas_dots=self.use_pallas)
         if order == "packed":
             return flat
         if order == "csr":
@@ -348,7 +354,8 @@ class HybridSDDMM:
                     mask(self._res_rows), mask(self._res_gids),
                     mask(self._res_member),
                     compute_dtype=self.compute_dtype,
-                    g=self.packed.group_size, kc=kc)
+                    g=self.packed.group_size, kc=kc,
+                    pallas_dots=self.use_pallas)
                 if order == "csr":
                     flat = self.to_csr_order(flat)
                 return jnp.sum(flat) * jnp.float32(1e-38)
@@ -379,7 +386,9 @@ class HybridSDDMM:
             return min(times)
 
         t_many, t_one = best(f_many), best(f_one)
-        return max(t_many - t_one, 1e-9) * 1e3 / (iterations - 1)
+        # 1 us floor: below that the dispatch-latency difference is noise
+        # (tiny matrices) and would report absurd throughput.
+        return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
 
     @staticmethod
     def from_csr(csr: CSR, alpha: float = config.DEFAULT_ALPHA,

@@ -172,7 +172,7 @@ def autotune(csr: CSR, k: int = 128,
              method: str = "auto",
              measure: bool = False,
              measure_top: int = 3,
-             measure_iterations: int = 15,
+             measure_iterations: int = 30,
              verbose: bool = False) -> TunedConfig:
     """Pick (alpha, delta, merge, G, C) minimizing modeled kernel time;
     with ``measure=True`` the top ``measure_top`` candidates are timed on
@@ -225,17 +225,22 @@ def autotune(csr: CSR, k: int = 128,
         return best
 
     # On-device shoot-out: the model's overall top picks PLUS the best
-    # candidate of every distinct (merge, G, C) shape class — gather cost
-    # is index-distribution-dependent (hot rows cache), so the model's
-    # ranking across classes is approximate and measurement arbitrates.
+    # candidate of every distinct (merge, G, C) shape class AND of every
+    # delta — gather cost is index-distribution-dependent (hot rows
+    # cache), so the model's ranking across classes is approximate and
+    # measurement arbitrates.
     finalists: list[TunedConfig] = []
-    seen_cls = set()
+    seen_cls: set = set()
+    seen_delta: set = set()
     for cand in candidates:
         cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks)
-        if len(finalists) < measure_top or cls not in seen_cls:
+        take_it = (len(finalists) < measure_top or cls not in seen_cls
+                   or cand.delta not in seen_delta)
+        if take_it and cand not in finalists:
             finalists.append(cand)
             seen_cls.add(cls)
-        if len(finalists) >= measure_top + 4:
+            seen_delta.add(cand.delta)
+        if len(finalists) >= measure_top + 5:
             break
 
     from sddmm_tpu.data import generate
@@ -247,7 +252,7 @@ def autotune(csr: CSR, k: int = 128,
                              k_chunks=cand.k_chunks)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
         cand.measured_ms = runner.measure_kernel_ms(
-            a_pad, bt_phys, iterations=measure_iterations)
+            a_pad, bt_phys, iterations=measure_iterations, repeats=4)
         if verbose:
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "

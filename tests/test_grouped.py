@@ -161,3 +161,23 @@ def test_pair_family_used_and_correct():
         got = np.asarray(runner(a, b, order="csr"))
         res = check_values(want, got)
         assert res.passed, str(res)
+
+
+def test_pallas_tile_dot_interpret_matches():
+    """Interpret-mode check of the 3-pass bf16 Pallas tile dot (tf32
+    class: rel err well under the reference's 1e-3 contract)."""
+    import jax.numpy as jnp
+    from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
+
+    rng = np.random.default_rng(0)
+    # U[0,2) operands: the reference's own data distribution
+    # (src/Matrix.cpp:131-137) and what its abs 1e-5 / rel 1e-3 contract
+    # is calibrated against (no cancellation).
+    a = jnp.asarray(rng.uniform(0, 2, (5, 16, 64)), dtype=jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 2, (5, 128, 64)), dtype=jnp.float32)
+    got = np.asarray(tile_dot_padded(a, b, interpret=True))
+    want = np.einsum("tik,tjk->tij", np.asarray(a, np.float64),
+                     np.asarray(b, np.float64))
+    ok = (np.abs(got - want) < 1e-5) | (
+        np.abs(got - want) / (np.abs(want) + 1e-12) < 1e-3)
+    assert ok.all(), f"{(~ok).sum()} cells outside reference tolerance"
