@@ -129,3 +129,25 @@ def test_powerlaw_graph():
     csr.validate()
     assert csr.shape == (300, 300)
     assert csr.nnz > 300
+
+
+def test_smtx_to_bf16_hybrid_pipeline(tmp_path):
+    """BASELINE config 4: DLMC-style .smtx matrix through the bfloat16
+    accumulate-fp32 hybrid path (pattern-only values)."""
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.ops.reference import sddmm_reference
+
+    csr0 = generate.block_clustered(8, 8, block_prob=0.25, seed=77)
+    path = tmp_path / "dlmc.smtx"
+    io.save_smtx(path, csr0)
+    csr = io.load(path)
+    k = 64
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(csr, 0.3, 0.2, compute_dtype="bfloat16")
+    got = np.asarray(runner(a, b, order="csr"))
+    want = sddmm_reference(a, b, csr)
+    # bf16 inputs: ~2^-9 relative error class
+    rel = np.abs(got - want) / (np.abs(want) + 1e-6)
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 5e-2
