@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Cross-implementation comparison runner — the reference's
+run_baseline.sh analogue.  Where the reference benchmarks 8 vendored CUDA
+baselines (cuSPARSE, cuSDDMM, ASpT, RoDe, Sputnik, TCGNN, FlashSparse,
+BSA), the TPU framework ships three independent SDDMM implementations:
+
+- ``csr``    — pure-JAX per-nnz gather-dot (the cuSPARSE-equivalent
+               correctness baseline, ops/csr_sddmm.py)
+- ``dense``  — full MXU product + nnz gather (ops/dense.py)
+- ``bsmr``   — the autotuned hybrid (ops/hybrid.py)
+
+Each run appends ``<tool>_gflops`` fields into one ``[key : value]`` log
+per matrix, the same schema analyze_results.py / plot_results.py consume,
+and cross-checks every tool against the CPU golden model (the reference's
+checkData contract).
+
+Usage:
+    python scripts/run_baselines.py MATRIX_DIR LOG_DIR [--ks 32 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def measure_tool(body, args, iterations=20, repeats=3):
+    """Device-kernel seconds per call via the loop-differencing method
+    (docs/performance.md): run the jitted body N times chained through an
+    opaque perturbation, fetch a scalar, subtract the 1-iteration time.
+    ``body(carry, *args) -> y`` must consume device-resident args."""
+    import jax
+    import jax.numpy as jnp
+
+    def looped(n):
+        @jax.jit
+        def f(*a):
+            def it(_, c):
+                return jnp.float32(1e-38) * jnp.sum(
+                    body(c, *a)).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, it, jnp.float32(0.0))
+        return f
+
+    f_many, f_one = looped(iterations), looped(1)
+
+    def best(f):
+        float(f(*args))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max(best(f_many) - best(f_one), 1e-9) / (iterations - 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("matrix_dir", type=Path)
+    p.add_argument("log_dir", type=Path)
+    p.add_argument("--ks", type=int, nargs="+", default=[32, 128])
+    p.add_argument("--compute-dtype", default="tf32")
+    p.add_argument("--tools", nargs="+",
+                   default=["csr", "dense", "bsmr"])
+    p.add_argument("--validate", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sddmm_tpu.data import generate, io
+    from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
+    from sddmm_tpu.ops.dense import dense_masked_sddmm
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.ops.reference import sddmm_reference
+    from sddmm_tpu.reorder.autotune import autotune
+    from sddmm_tpu.utils.check import check_values
+    from sddmm_tpu.utils.logger import RunLog
+
+    args.log_dir.mkdir(parents=True, exist_ok=True)
+    files = sorted(q for suf in ("*.mtx", "*.smtx") for q in
+                   args.matrix_dir.glob(suf))
+    if not files:
+        print(f"no matrices under {args.matrix_dir}", file=sys.stderr)
+        return 1
+
+    for path in files:
+        csr = io.load(path)
+        for k in args.ks:
+            a = generate.make_dense(csr.m, k, seed=1)
+            b = generate.make_dense(k, csr.n, seed=2)
+            log = RunLog(input_file=str(path), k=k, tile_k=k)
+            log.set_matrix(csr)
+            golden = sddmm_reference(a, b, csr) if args.validate else None
+            extra = {}
+
+            a_d = jnp.asarray(a)
+            bt_d = jnp.asarray(np.ascontiguousarray(b.T))
+
+            if "csr" in args.tools:
+                rows_d = jnp.asarray(csr.row_indices(), dtype=jnp.int32)
+                cols_d = jnp.asarray(csr.col_idx, dtype=jnp.int32)
+
+                def body_csr(c, a_d, bt_d, rows_d, cols_d):
+                    r2 = jnp.where(c > jnp.float32(-1e30), rows_d, 0)
+                    return csr_sddmm_jax(a_d, bt_d, r2, cols_d)
+
+                dt = measure_tool(body_csr, (a_d, bt_d, rows_d, cols_d))
+                extra["csr_gflops"] = 2 * csr.nnz * k / dt / 1e9
+                if golden is not None:
+                    res = check_values(golden, np.asarray(
+                        csr_sddmm_jax(a_d, bt_d, rows_d, cols_d)))
+                    extra["csr_check"] = "PASS" if res.passed else "FAIL"
+
+            if "dense" in args.tools:
+                from sddmm_tpu.ops.dense import _dense_masked_jit
+                rows64 = csr.row_indices().astype(np.int64)
+                fi = jnp.asarray(rows64 * csr.n
+                                 + csr.col_idx.astype(np.int64),
+                                 dtype=jnp.int32
+                                 if csr.m * csr.n < 2**31 else jnp.int64)
+                b_d = jnp.asarray(b)
+
+                def body_dense(c, a_d, b_d, fi):
+                    a2 = jnp.where(c > jnp.float32(-1e30), a_d,
+                                   jnp.zeros_like(a_d))
+                    return _dense_masked_jit(
+                        a2, b_d, fi, compute_dtype=args.compute_dtype)
+
+                dt = measure_tool(body_dense, (a_d, b_d, fi))
+                extra["dense_gflops"] = 2 * csr.nnz * k / dt / 1e9
+                if golden is not None:
+                    res = check_values(golden, dense_masked_sddmm(
+                        a, b, csr, compute_dtype=args.compute_dtype))
+                    extra["dense_check"] = "PASS" if res.passed else "FAIL"
+
+            if "bsmr" in args.tools:
+                tuned = autotune(csr, k=k,
+                                 compute_dtype=args.compute_dtype)
+                runner = HybridSDDMM(tuned.packed,
+                                     compute_dtype=args.compute_dtype,
+                                     k_chunks=tuned.k_chunks)
+                a_pad, bt_phys = runner.prepare_operands(a, b=b)
+                ms = runner.measure_kernel_ms(a_pad, bt_phys,
+                                              iterations=20)
+                log.sddmm_time_ms = ms
+                log.num_clusters = tuned.bsmr.num_clusters
+                log.row_reordering_ms = tuned.bsmr.row_reordering_ms
+                log.col_reordering_ms = tuned.bsmr.col_reordering_ms
+                log.num_dense_block = tuned.packed.num_blocks
+                log.average_density = tuned.packed.average_block_density
+                if golden is not None:
+                    res = check_values(
+                        golden, np.asarray(runner(a, b, order="csr")))
+                    extra["bsmr_check"] = "PASS" if res.passed else "FAIL"
+
+            out = args.log_dir / f"{path.stem}_k{k}.log"
+            text = log.print_log()
+            for key, val in extra.items():
+                text += f"[{key} : {val}]\n"
+            out.write_text(text)
+            summary = " ".join(f"{t}={extra.get(t + '_gflops', 0):.0f}"
+                               for t in ("csr", "dense")
+                               if t in args.tools)
+            print(f"{path.stem} K={k}: bsmr={log.gflops:.0f} {summary} "
+                  f"GFLOPS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,7 +23,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from sddmm_tpu import config
 from sddmm_tpu.data.sparse import CSR
 from sddmm_tpu.reorder.bsmr import BSMR
 from sddmm_tpu.reorder.pack import (GROUP_CELLS, GROUP_LANES, SUPER_CELLS,

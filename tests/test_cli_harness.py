@@ -80,3 +80,48 @@ def test_runlog_parse_roundtrip():
     assert float(entries["bsmr_sddmm"]) == 2.0
     expected_gflops = 2 * 5000 * 128 / (2.0 * 1e6)
     assert abs(float(entries["bsmr_gflops"]) - expected_gflops) < 1e-6
+
+
+def test_scaling_bench_script_runs(capsys):
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["scaling_bench.py", "--devices", "1", "2",
+                "--iterations", "2"]
+    try:
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            runpy.run_path("scripts/scaling_bench.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert '"results"' in out
+    assert "max_rel_err=0.00e+00" in out
+
+
+def test_run_baselines_script_runs(tmp_path, capsys):
+    import runpy
+    import sys
+
+    from sddmm_tpu.data import generate, io
+
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    io.save_mtx(mdir / "tiny.mtx",
+                generate.block_clustered(6, 6, block_prob=0.3, seed=3))
+    argv = sys.argv
+    sys.argv = ["run_baselines.py", str(mdir), str(tmp_path / "logs"),
+                "--ks", "16", "--validate"]
+    try:
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            runpy.run_path("scripts/run_baselines.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    logs = list((tmp_path / "logs").glob("*.log"))
+    assert len(logs) == 1
+    text = logs[0].read_text()
+    assert "csr_check : PASS" in text
+    assert "dense_check : PASS" in text
+    assert "bsmr_check : PASS" in text
