@@ -61,18 +61,23 @@ def _storage_dtype(compute_dtype: str):
 
 @functools.partial(jax.jit,
                    static_argnames=("compute_dtype", "g", "kc",
-                                    "pallas_dots"))
+                                    "pallas_dots", "super_buckets",
+                                    "pair_buckets", "group_buckets"))
 def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
                        pair_gids, group_rows, group_gids, res_rows,
                        res_gids, res_member, compute_dtype="tf32", g=1,
-                       kc=0, pallas_dots=False):
+                       kc=0, pallas_dots=False, super_buckets=(),
+                       pair_buckets=(), group_buckets=()):
     """Hybrid SDDMM producing the *packed-order* flat value vector
-    [supertiles ++ pairs ++ group tiles ++ residual] — the framework's
-    native layout.
+    [supertiles ++ pairs ++ group tiles ++ residual] in the run-major
+    bucketed layout (reorder/pack.py) — the framework's native layout.
 
     a_pad: (M+1, K) with zero sentinel row.
     bt_phys: (C, NG+1, G*Kc) grouped/chunked B^T with zero sentinel rows
     (C*Kc == K); built by prepare_operands / device_prepare.
+    Each ``*_buckets`` entry (b, start_tile, n_runs) describes a segment
+    of containers with b 128-lane chunks each: A is gathered once per
+    container and the batched dot runs at n = b*128 lanes.
     """
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
@@ -82,16 +87,8 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
     C = bt_phys.shape[0]
     LG = GROUP_LANES // g
 
-    # A rows gathered once at full K; B group rows gathered per K-chunk.
-    fams = [(super_rows, super_gids), (pair_rows, pair_gids),
-            (group_rows, group_gids)]
-    a_fams = [jnp.take(a_pad, rows, axis=0) for rows, _ in fams]
-    a_res = jnp.take(a_pad, res_rows, axis=0)       # (nR, K)
-
-    def tile_chunk(a_c, bt_c, gids, nt):
-        bg = jnp.take(bt_c, gids, axis=0)           # (nT, LG, G*Kc)
-        bg = bg.reshape(nt, LG, g, kc).reshape(nt, GROUP_LANES, kc)
-        if pallas_dots and compute_dtype == "tf32" and nt:
+    def dot(a_c, bg):
+        if pallas_dots and compute_dtype == "tf32":
             from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
             return tile_dot_padded(a_c, bg)
         return jax.lax.dot_general(
@@ -100,18 +97,38 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
             preferred_element_type=jnp.float32,
             precision=precision)
 
+    # Per (family, bucket) segment: gather the run's A rows once, then
+    # one batched (n_runs, R, Kc) x (n_runs, b*128, Kc) dot per K-chunk.
+    segments = []
+    for rows_arr, gids_arr, buckets in (
+            (super_rows, super_gids, super_buckets),
+            (pair_rows, pair_gids, pair_buckets),
+            (group_rows, group_gids, group_buckets)):
+        for (b, start, n_runs) in buckets:
+            run_rows = jax.lax.slice_in_dim(
+                rows_arr, start, start + n_runs * b, stride=b, axis=0)
+            gids = jax.lax.slice_in_dim(
+                gids_arr, start, start + n_runs * b, axis=0)
+            gids = gids.reshape(n_runs, b * LG)
+            a_run = jnp.take(a_pad, run_rows, axis=0)  # (n, R, K)
+            acc = jnp.zeros((n_runs, rows_arr.shape[1],
+                             b * GROUP_LANES), jnp.float32)
+            for c in range(C):
+                bt_c = bt_phys[c]
+                bg = jnp.take(bt_c, gids, axis=0)  # (n, b*LG, G*Kc)
+                bg = bg.reshape(n_runs, b * LG, g, kc).reshape(
+                    n_runs, b * GROUP_LANES, kc)
+                a_c = jax.lax.slice_in_dim(a_run, c * kc, (c + 1) * kc,
+                                           axis=2)
+                acc = acc + dot(a_c, bg)
+            segments.append(acc.reshape(-1))
+
+    # Residual: fetch the entry's column group, select member lane.
     nR = res_rows.shape[0]
-    tiles = [jnp.zeros(rows.shape + (GROUP_LANES,), jnp.float32)
-             for rows, _ in fams]
+    a_res = jnp.take(a_pad, res_rows, axis=0)       # (nR, K)
     res = jnp.zeros((nR,), jnp.float32)
     for c in range(C):
         bt_c = bt_phys[c]
-        for i, (rows, gids) in enumerate(fams):
-            a_c = jax.lax.slice_in_dim(a_fams[i], c * kc, (c + 1) * kc,
-                                       axis=2)
-            tiles[i] = tiles[i] + tile_chunk(a_c, bt_c, gids,
-                                             rows.shape[0])
-        # Residual: fetch the entry's column group, select member lane.
         br = jnp.take(bt_c, res_gids, axis=0).reshape(nR, g, kc)
         br = jnp.take_along_axis(
             br, res_member[:, None, None].astype(jnp.int32), axis=1
@@ -120,8 +137,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
         res = res + jnp.sum(
             a_r.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
-    return jnp.concatenate(
-        [t.reshape(-1) for t in tiles] + [res])
+    return jnp.concatenate(segments + [res])
 
 
 @functools.partial(jax.jit, static_argnames=("nnz", "strategy"))
@@ -307,7 +323,10 @@ class HybridSDDMM:
             self._res_rows, self._res_gids, self._res_member,
             compute_dtype=self.compute_dtype,
             g=self.packed.group_size, kc=kc,
-            pallas_dots=self.use_pallas)
+            pallas_dots=self.use_pallas,
+            super_buckets=self.packed.super_buckets,
+            pair_buckets=self.packed.pair_buckets,
+            group_buckets=self.packed.group_buckets)
         if order == "packed":
             return flat
         if order == "csr":
@@ -355,7 +374,10 @@ class HybridSDDMM:
                     mask(self._res_member),
                     compute_dtype=self.compute_dtype,
                     g=self.packed.group_size, kc=kc,
-                    pallas_dots=self.use_pallas)
+                    pallas_dots=self.use_pallas,
+                    super_buckets=self.packed.super_buckets,
+                    pair_buckets=self.packed.pair_buckets,
+                    group_buckets=self.packed.group_buckets)
                 if order == "csr":
                     flat = self.to_csr_order(flat)
                 return jnp.sum(flat) * jnp.float32(1e-38)

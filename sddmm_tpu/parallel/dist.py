@@ -83,22 +83,24 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     np_pad = pair_rows.shape[0]
     ng_pad = group_rows.shape[0]
     nr_pad = res_rows.shape[0]
-    # Recompute inverse index against the padded flat layout:
+    # Build the inverse index for the *tile-major* padded flat layout
     # [ns_pad supertiles][np_pad pairs][ng_pad group tiles][nr_pad res]
-    inv = packed.inv_idx.copy()
-    s_end = packed.num_super * SUPER_CELLS
-    p_end = s_end + packed.num_pairs * PAIR_CELLS
-    g_end = p_end + packed.num_groups * GROUP_CELLS
-    s_shift = (ns_pad - packed.num_super) * SUPER_CELLS
-    p_shift = s_shift + (np_pad - packed.num_pairs) * PAIR_CELLS
-    g_shift = p_shift + (ng_pad - packed.num_groups) * GROUP_CELLS
-    in_p = (inv >= s_end) & (inv < p_end)
-    in_g = (inv >= p_end) & (inv < g_end)
-    in_r = inv >= g_end
-    inv[in_p] += s_shift
-    inv[in_g] += p_shift
-    inv[in_r] += g_shift
-    inv = _pad_to(inv.astype(np.int64), n_rows, 0)
+    # from the tile-major csr arrays (the single-chip path uses the
+    # run-major bucketed layout instead; see reorder/pack.py).
+    inv = np.full(packed.nnz, -1, dtype=np.int64)
+    base = 0
+    for csr_arr, n_tiles_pad, cells in (
+            (packed.super_csr, ns_pad, SUPER_CELLS),
+            (packed.pair_csr, np_pad, PAIR_CELLS),
+            (packed.group_csr, ng_pad, GROUP_CELLS)):
+        if len(csr_arr):
+            flat = csr_arr.reshape(len(csr_arr), -1)
+            t, pos = np.nonzero(flat >= 0)
+            inv[flat[t, pos]] = base + t * cells + pos
+        base += n_tiles_pad * cells
+    inv[packed.res_csr] = base + np.arange(len(packed.res_csr))
+    assert np.all(inv >= 0), "distributed inverse index incomplete"
+    inv = _pad_to(inv, n_rows, 0)
 
     shard1 = NamedSharding(mesh, P("rows"))
     shard2 = NamedSharding(mesh, P("rows", None))

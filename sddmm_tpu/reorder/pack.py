@@ -100,6 +100,13 @@ class PackedMatrix:
     num_pairs: int    # (32, 128) pair tiles
     num_groups: int   # (16, 128) dense groups
 
+    # Run-major bucket metadata per family: ordered (chunks_per_run,
+    # first_tile, num_runs) segments describing the flat device layout
+    # (see "bucketed run-major" in pack()).
+    super_buckets: tuple
+    pair_buckets: tuple
+    group_buckets: tuple
+
     # Gather-group geometry.
     group_size: int          # G: columns per gather descriptor
     num_col_groups: int      # NG: physical rows of the grouped B^T layout
@@ -352,18 +359,49 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
             if len(pick):
                 cont_groups[cid] = np.concatenate([cont_groups[cid], pick])
 
-    # --- Build the three tile families ---
+    # --- Build the three tile families, bucketed run-major ---
+    # Containers of a family are sorted by their power-of-2 chunk-count
+    # bucket and padded with sentinel chunks up to the bucket size; the
+    # flat device layout is then *run-major* within each bucket
+    # (run, row, chunk*128 + lane), so the hybrid kernel gathers A once
+    # per container and runs one batched dot per bucket with
+    # n = bucket*128 lanes — instead of refetching the same A rows for
+    # every 128-lane chunk (measured ~7 chunks per supertile container on
+    # coarse block structure: a 7x A-traffic saving).
+
+    def bucket_of(chunks: int) -> int:
+        b = 1
+        while b < chunks:
+            b *= 2
+        return b
+
+    fam_conts: dict[int, list[int]] = {
+        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+    for cid in range(num_cont):
+        fam_conts[cont_family[cid]].append(cid)
+
+    def chunks_of(cid: int) -> int:
+        return max(padded(len(cont_groups[cid])) // LG, 1)
+
+    for f in fam_conts:
+        fam_conts[f].sort(key=lambda cid: (bucket_of(chunks_of(cid)), cid))
+
     fam_tiles: dict[int, list[tuple[int, np.ndarray]]] = {
         _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
-    cont_tile_base = np.zeros(num_cont, dtype=np.int64)
-    for cid in range(num_cont):
-        f = cont_family[cid]
-        g = cont_groups[cid]
-        gp = np.concatenate(
-            [g, np.full(padded(len(g)) - len(g), NG, dtype=np.int64)])
-        cont_tile_base[cid] = len(fam_tiles[f])
-        for c0 in range(0, len(gp), LG):
-            fam_tiles[f].append((cid, gp[c0:c0 + LG]))
+    fam_buckets: dict[int, list[tuple[int, int, int]]] = {
+        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+    for f, cids in fam_conts.items():
+        for cid in cids:
+            g = cont_groups[cid]
+            b = bucket_of(chunks_of(cid))
+            gp = np.concatenate(
+                [g, np.full(b * LG - len(g), NG, dtype=np.int64)])
+            if (not fam_buckets[f]) or fam_buckets[f][-1][0] != b:
+                fam_buckets[f].append((b, len(fam_tiles[f]), 0))
+            bsz, bstart, bcnt = fam_buckets[f][-1]
+            fam_buckets[f][-1] = (bsz, bstart, bcnt + 1)
+            for c0 in range(0, len(gp), LG):
+                fam_tiles[f].append((cid, gp[c0:c0 + LG]))
 
     def build_family(f: int):
         rows_h = _FAM_ROWS[f]
@@ -395,50 +433,95 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     fam_base = {_FAM_SUPER: base_super, _FAM_PAIR: base_pair,
                 _FAM_GROUP: base_group}
 
-    # --- Join each nnz entry against its container's group table ---
-    tab_key_l, tab_slotbase_l = [], []
+    # Per-tile flat-slot origin and row stride under the run-major
+    # bucketed layout.
+    tile_origin: dict[int, np.ndarray] = {}
+    tile_stride: dict[int, np.ndarray] = {}
     for f, tiles in fam_tiles.items():
-        cells = _FAM_CELLS[f]
+        rows_h = _FAM_ROWS[f]
+        nT = len(tiles)
+        origin = np.zeros(nT, dtype=np.int64)
+        stride = np.zeros(nT, dtype=np.int64)
+        seg = fam_base[f]
+        for (b, start, n_runs) in fam_buckets[f]:
+            run_cells = rows_h * b * GROUP_LANES
+            for r in range(n_runs):
+                for c in range(b):
+                    t = start + r * b + c
+                    origin[t] = seg + r * run_cells + c * GROUP_LANES
+                    stride[t] = b * GROUP_LANES
+            seg += n_runs * run_cells
+        tile_origin[f] = origin
+        tile_stride[f] = stride
+
+    # --- Join each nnz entry against its container's group table ---
+    tab_key_l, tab_slotbase_l, tab_stride_l = [], [], []
+    tab_fam_l, tab_tile_l, tab_lgrp_l = [], [], []
+    for f, tiles in fam_tiles.items():
         for t, (cid, chunk) in enumerate(tiles):
             real = chunk < NG
             pos = np.arange(len(chunk), dtype=np.int64)[real]
-            tab_key_l.append(np.full(len(pos), cid, dtype=np.int64)
+            k_ = len(pos)
+            tab_key_l.append(np.full(k_, cid, dtype=np.int64)
                              * np.int64(NG + 1) + chunk[real])
             # slot of (tile, lane_grp) at local row 0, lane member 0
-            tab_slotbase_l.append(fam_base[f] + t * cells
-                                  + pos * np.int64(G))
+            tab_slotbase_l.append(tile_origin[f][t] + pos * np.int64(G))
+            tab_stride_l.append(np.full(k_, tile_stride[f][t],
+                                        dtype=np.int64))
+            tab_fam_l.append(np.full(k_, f, dtype=np.int64))
+            tab_tile_l.append(np.full(k_, t, dtype=np.int64))
+            tab_lgrp_l.append(pos)
     if tab_key_l:
         tab_key = np.concatenate(tab_key_l)
         tab_slotbase = np.concatenate(tab_slotbase_l)
+        tab_stride = np.concatenate(tab_stride_l)
+        tab_fam = np.concatenate(tab_fam_l)
+        tab_tile = np.concatenate(tab_tile_l)
+        tab_lgrp = np.concatenate(tab_lgrp_l)
         order_t = np.argsort(tab_key)
         tab_key = tab_key[order_t]
         tab_slotbase = tab_slotbase[order_t]
+        tab_stride = tab_stride[order_t]
+        tab_fam = tab_fam[order_t]
+        tab_tile = tab_tile[order_t]
+        tab_lgrp = tab_lgrp[order_t]
     else:
         tab_key = np.zeros(0, dtype=np.int64)
         tab_slotbase = np.zeros(0, dtype=np.int64)
+        tab_stride = np.zeros(0, dtype=np.int64)
+        tab_fam = np.zeros(0, dtype=np.int64)
+        tab_tile = np.zeros(0, dtype=np.int64)
+        tab_lgrp = np.zeros(0, dtype=np.int64)
 
     ekey = cont_e * np.int64(NG + 1) + entry_gid
     if len(tab_key):
         j = np.minimum(np.searchsorted(tab_key, ekey), len(tab_key) - 1)
         matched = (tab_key[j] == ekey) & (cont_e >= 0)
         slot_base = tab_slotbase[j]
+        stride_e = tab_stride[j]
+        fam_e = tab_fam[j]
+        tile_e = tab_tile[j]
+        lgrp_e = tab_lgrp[j]
     else:
         matched = np.zeros(csr.nnz, dtype=bool)
         slot_base = np.zeros(csr.nnz, dtype=np.int64)
+        stride_e = np.zeros(csr.nnz, dtype=np.int64)
+        fam_e = np.zeros(csr.nnz, dtype=np.int64)
+        tile_e = np.zeros(csr.nnz, dtype=np.int64)
+        lgrp_e = np.zeros(csr.nnz, dtype=np.int64)
 
     local_row = np.where(cont_e >= 0,
                          panel_offset[np.maximum(panel_e, 0)] * panel_sz
                          + local_e, 0)
-    slot = slot_base + local_row * GROUP_LANES + entry_member
+    slot = slot_base + local_row * stride_e + entry_member
 
     entry_idx = np.arange(csr.nnz, dtype=np.int64)
-    dense_flat = np.concatenate([super_csr.reshape(-1),
-                                 pair_csr.reshape(-1),
-                                 group_csr.reshape(-1)])
-    dense_flat[slot[matched]] = entry_idx[matched]
-    super_csr = dense_flat[:base_pair].reshape(super_csr.shape)
-    pair_csr = dense_flat[base_pair:base_group].reshape(pair_csr.shape)
-    group_csr = dense_flat[base_group:].reshape(group_csr.shape)
+    # Fill the tile-major csr arrays (validation / multi-chip layout).
+    lane_m = lgrp_e * G + entry_member
+    for f, csr_arr in ((_FAM_SUPER, super_csr), (_FAM_PAIR, pair_csr),
+                       (_FAM_GROUP, group_csr)):
+        sel = matched & (fam_e == f)
+        csr_arr[tile_e[sel], local_row[sel], lane_m[sel]] = entry_idx[sel]
 
     rest = ~matched
     res_rows = entry_rows[rest]
@@ -456,20 +539,30 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         raise AssertionError(
             f"packing lost {missing} CSR entries (invariant violation)")
 
-    # Packed-order metadata.
-    def family_meta(csr_arr, rows_arr, cols_arr):
+    # Packed-order metadata, scattered through the run-major slot map.
+    F = dense_slots + len(res_csr)
+    packed_rows = np.full(F, m, dtype=np.int64)
+    packed_cols = np.full(F, n, dtype=np.int64)
+    for f, csr_arr, rows_arr, cols_arr in (
+            (_FAM_SUPER, super_csr, super_rows, super_cols),
+            (_FAM_PAIR, pair_csr, pair_rows_a, pair_cols),
+            (_FAM_GROUP, group_csr, group_rows, group_cols)):
+        nT, rows_h = csr_arr.shape[0], csr_arr.shape[1]
+        if not nT:
+            continue
+        slots3 = (tile_origin[f][:, None, None]
+                  + np.arange(rows_h, dtype=np.int64)[None, :, None]
+                  * tile_stride[f][:, None, None]
+                  + np.arange(GROUP_LANES, dtype=np.int64)[None, None, :])
         valid3 = csr_arr >= 0
         slot_rows = np.broadcast_to(rows_arr[:, :, None], csr_arr.shape)
         slot_cols = np.broadcast_to(cols_arr[:, None, :], csr_arr.shape)
-        return (np.where(valid3, slot_rows, m).reshape(-1),
-                np.where(valid3, slot_cols, n).reshape(-1))
-
-    sr, sc = family_meta(super_csr, super_rows, super_cols)
-    pr, pc = family_meta(pair_csr, pair_rows_a, pair_cols)
-    gr, gc = family_meta(group_csr, group_rows, group_cols)
-    packed_rows = np.concatenate([sr, pr, gr, res_rows])
-    packed_cols = np.concatenate([sc, pc, gc, res_cols])
-    F = dense_slots + len(res_csr)
+        packed_rows[slots3.reshape(-1)] = np.where(valid3, slot_rows,
+                                                   m).reshape(-1)
+        packed_cols[slots3.reshape(-1)] = np.where(valid3, slot_cols,
+                                                   n).reshape(-1)
+    packed_rows[dense_slots:] = res_rows
+    packed_cols[dense_slots:] = res_cols
     csr_dest = np.full(F, -1, dtype=np.int64)
     csr_dest[inv_idx] = np.arange(csr.nnz)
     spill = csr_dest < 0
@@ -479,6 +572,9 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         m=m, n=n, k_hint=k_hint, nnz=csr.nnz,
         num_panels=num_panels, num_blocks=num_blocks,
         num_super=num_super, num_pairs=num_pairs, num_groups=num_groups,
+        super_buckets=tuple(fam_buckets[_FAM_SUPER]),
+        pair_buckets=tuple(fam_buckets[_FAM_PAIR]),
+        group_buckets=tuple(fam_buckets[_FAM_GROUP]),
         group_size=G, num_col_groups=NG,
         col_order=col_order,
         a_row_gather=a_row_gather,
