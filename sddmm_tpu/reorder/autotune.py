@@ -108,9 +108,10 @@ def estimate_ms(packed: PackedMatrix, k: int,
         packed.group_gids.reshape(-1)])))
         if b_rows else 0)
     t_b = C * _take_ms(b_rows, G * kc * el, b_src, b_uniq)
-    # A gathers: full-K rows once.
-    a_rows = (packed.num_super * 128 + packed.num_pairs * 32
-              + packed.num_groups * 16)
+    # A gathers: full-K rows, once per container (run-major layout).
+    a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
+              + sum(n * 32 for _, _, n in packed.pair_buckets)
+              + sum(n * 16 for _, _, n in packed.group_buckets))
     a_uniq = min(a_rows, packed.num_panels * 16)
     a_src = (packed.m + 1) * k * el
     t_a = _take_ms(a_rows, k * el, a_src, a_uniq)
