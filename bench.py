@@ -80,9 +80,11 @@ def main():
         a = generate.make_dense(csr.m, args.k, seed=1)
         b = generate.make_dense(args.k, csr.n, seed=2)
         a_pad, bt_pad = runner.prepare_operands(a, b=b)
+        # min over many repeats: tunnel dispatch jitter is additive, so
+        # the minimum converges to the true kernel time.
         ms = runner.measure_kernel_ms(
-            a_pad, bt_pad, iterations=max(args.iterations, 10),
-            order="packed")
+            a_pad, bt_pad, iterations=max(args.iterations, 40),
+            repeats=6, order="packed")
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
         # Speed-of-light: minimum HBM bytes any tile approach must move
