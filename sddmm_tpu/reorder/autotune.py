@@ -252,7 +252,7 @@ def autotune(csr: CSR, k: int = 128,
                              k_chunks=cand.k_chunks)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
         cand.measured_ms = runner.measure_kernel_ms(
-            a_pad, bt_phys, iterations=measure_iterations, repeats=4)
+            a_pad, bt_phys, iterations=measure_iterations, repeats=6)
         if verbose:
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "
