@@ -29,7 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sddmm_tpu",
         description="TPU-native BSMR SDDMM (hybrid dense-block + residual)")
-    p.add_argument("-f", "--file", required=True, help="matrix file "
+    p.add_argument("file_pos", nargs="?", default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("k_pos", nargs="?", default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("-f", "--file", default=None, help="matrix file "
                    "(.mtx/.smtx/.txt)")
     p.add_argument("-k", type=int, default=config.DEFAULT_K,
                    help="dense feature dim K")
@@ -112,6 +116,14 @@ def run_once(csr, k, alpha, delta, args, input_file):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Positional fallback: argv[1]=file [argv[2]=K] (reference
+    # include/Options.hpp:120-123).
+    if args.file is None:
+        if args.file_pos is None:
+            build_parser().error("matrix file required (-f or positional)")
+        args.file = args.file_pos
+        if args.k_pos is not None:
+            args.k = int(args.k_pos)
     from sddmm_tpu.data import io
     from sddmm_tpu.utils.util import to_trimmed_string
 

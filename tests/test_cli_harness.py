@@ -34,10 +34,16 @@ def test_cli_single_run(matrix_file, tmp_path, capsys):
     assert (tmp_path / "BSMR_tpu_k_32.log").exists()
 
 
-def test_cli_positional_compat(matrix_file):
-    # reference supports `-f file -k K`; our parser requires -f
+def test_cli_positional_compat(matrix_file, capsys):
+    # reference positional fallback: argv[1]=file argv[2]=K
+    # (include/Options.hpp:120-123)
+    rc = cli.main([str(matrix_file), "16"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[K : 16]" in out
+    # no file at all -> parser error
     with pytest.raises(SystemExit):
-        cli.build_parser().parse_args([])
+        cli.main([])
 
 
 def test_cli_sweep_and_analyze(matrix_file, tmp_path):
