@@ -255,7 +255,22 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
 
     if method == "auto":
         method = "greedy" if len(order) <= 100_000 else "batched"
-    if method == "greedy":
+    # Early bail for matrices that refuse to cluster (power-law graphs):
+    # greedy-cluster a strided sample; if most sample rows become their
+    # own cluster, full clustering would cost minutes and buy nothing
+    # (measured: identical kernel time on power-law either way), so keep
+    # the dispersion order with per-row clusters.
+    if method in ("greedy", "batched") and len(order) > 8192:
+        sample = order[::max(len(order) // 2048, 1)][:2048]
+        _, ncl_s = _greedy_cluster(
+            sample, block_ptr, block_idx, block_cnt, num_blocks, alpha)
+        if ncl_s > 0.5 * len(sample):
+            method = "unclusterable"
+    if method == "unclusterable":
+        cluster_of = np.full(m, -1, dtype=np.int64)
+        cluster_of[order] = np.arange(len(order), dtype=np.int64)
+        num_clusters = len(order)
+    elif method == "greedy":
         from sddmm_tpu import native
         native_result = (native.greedy_cluster(
             block_ptr, block_idx, block_cnt, order, m, num_blocks, alpha)
