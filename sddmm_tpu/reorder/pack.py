@@ -331,7 +331,17 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     entry_member = member_of(col_idx.astype(np.int64))
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
-    # --- Residual absorption into sentinel lanes of the last chunk ---
+    def bucket_of(chunks: int) -> int:
+        b = 1
+        while b < chunks:
+            b *= 2
+        return b
+
+    def chunks_of(cid: int) -> int:
+        return max(padded(len(cont_groups[cid])) // LG, 1)
+
+    # --- Residual absorption into the sentinel lanes of the container's
+    # bucket-padded capacity (the padding tiles exist either way) ---
     if absorb_residual and num_cont:
         ckeys = cont_e * np.int64(NG + 1) + entry_gid
         tk = np.sort(np.concatenate(
@@ -352,7 +362,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         end = np.searchsorted(u_cont, np.arange(num_cont), side="right")
         for cid in range(num_cont):
             nreal = len(cont_groups[cid])
-            free = padded(nreal) - nreal
+            free = bucket_of(chunks_of(cid)) * LG - nreal
             if free <= 0 or end[cid] <= start[cid]:
                 continue
             pick = u_gid[start[cid]:end[cid]][:free]
@@ -369,19 +379,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # every 128-lane chunk (measured ~7 chunks per supertile container on
     # coarse block structure: a 7x A-traffic saving).
 
-    def bucket_of(chunks: int) -> int:
-        b = 1
-        while b < chunks:
-            b *= 2
-        return b
-
     fam_conts: dict[int, list[int]] = {
         _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
     for cid in range(num_cont):
         fam_conts[cont_family[cid]].append(cid)
-
-    def chunks_of(cid: int) -> int:
-        return max(padded(len(cont_groups[cid])) // LG, 1)
 
     for f in fam_conts:
         fam_conts[f].sort(key=lambda cid: (bucket_of(chunks_of(cid)), cid))
