@@ -27,6 +27,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+def _extract(tgz: Path, out: Path):
+    with tarfile.open(tgz) as tf:
+        try:
+            tf.extractall(out, filter="data")
+        except TypeError:  # Python < 3.12 without the filter kwarg
+            tf.extractall(out)
+
+
 SUITESPARSE_URL = "https://suitesparse-collection-website.herokuapp.com/MM/{group}/{name}.tar.gz"
 DLMC_URL = "https://storage.googleapis.com/sgk-sc2020/dlmc.tar.gz"
 
@@ -47,8 +55,7 @@ def fetch_suitesparse(names, out: Path):
             print(f"  FAILED ({e}); offline? use `synth` for a local "
                   f"suite", file=sys.stderr)
             continue
-        with tarfile.open(tgz) as tf:
-            tf.extractall(out, filter="data")
+        _extract(tgz, out)
         tgz.unlink()
 
 
@@ -61,8 +68,7 @@ def fetch_dlmc(out: Path):
     except Exception as e:
         print(f"  FAILED ({e}); offline? use `synth`", file=sys.stderr)
         return
-    with tarfile.open(tgz) as tf:
-        tf.extractall(out, filter="data")
+    _extract(tgz, out)
     tgz.unlink()
 
 

@@ -120,20 +120,18 @@ def main(argv=None):
 
             if "dense" in args.tools:
                 from sddmm_tpu.ops.dense import _dense_masked_jit
-                rows64 = csr.row_indices().astype(np.int64)
-                fi = jnp.asarray(rows64 * csr.n
-                                 + csr.col_idx.astype(np.int64),
-                                 dtype=jnp.int32
-                                 if csr.m * csr.n < 2**31 else jnp.int64)
+                rows_i = jnp.asarray(csr.row_indices(), dtype=jnp.int32)
+                cols_i = jnp.asarray(csr.col_idx, dtype=jnp.int32)
                 b_d = jnp.asarray(b)
 
-                def body_dense(c, a_d, b_d, fi):
+                def body_dense(c, a_d, b_d, rows_i, cols_i):
                     a2 = jnp.where(c > jnp.float32(-1e30), a_d,
                                    jnp.zeros_like(a_d))
                     return _dense_masked_jit(
-                        a2, b_d, fi, compute_dtype=args.compute_dtype)
+                        a2, b_d, rows_i, cols_i,
+                        compute_dtype=args.compute_dtype)
 
-                dt = measure_tool(body_dense, (a_d, b_d, fi))
+                dt = measure_tool(body_dense, (a_d, b_d, rows_i, cols_i))
                 extra["dense_gflops"] = 2 * csr.nnz * k / dt / 1e9
                 if golden is not None:
                     res = check_values(golden, dense_masked_sddmm(

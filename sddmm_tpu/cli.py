@@ -118,12 +118,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # Positional fallback: argv[1]=file [argv[2]=K] (reference
     # include/Options.hpp:120-123).
+    parser = build_parser()
     if args.file is None:
         if args.file_pos is None:
-            build_parser().error("matrix file required (-f or positional)")
+            parser.error("matrix file required (-f or positional)")
         args.file = args.file_pos
         if args.k_pos is not None:
-            args.k = int(args.k_pos)
+            try:
+                args.k = int(args.k_pos)
+            except ValueError:
+                parser.error(f"positional K must be an integer, got "
+                             f"{args.k_pos!r}")
+    elif args.file_pos is not None:
+        parser.error("cannot mix -f with positional arguments")
     from sddmm_tpu.data import io
     from sddmm_tpu.utils.util import to_trimmed_string
 

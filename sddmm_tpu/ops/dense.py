@@ -27,21 +27,22 @@ _PRECISION = {
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _dense_masked_jit(a, b, flat_idx, compute_dtype="tf32"):
+def _dense_masked_jit(a, b, rows, cols, compute_dtype="tf32"):
+    """2-D (row, col) gather of the full product — no flattened index, so
+    m*n >= 2**31 cannot overflow int32 (JAX silently downcasts int64
+    arrays unless x64 is enabled)."""
     dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     full = jnp.dot(a.astype(dt), b.astype(dt),
                    preferred_element_type=jnp.float32,
                    precision=_PRECISION[compute_dtype])
-    return jnp.take(full.reshape(-1), flat_idx)
+    return full[rows, cols]
 
 
 def dense_masked_sddmm(a, b, s: CSR,
                        compute_dtype: str = "tf32") -> np.ndarray:
     """(nnz,) values in CSR entry order via full dense product + gather."""
-    rows = s.row_indices().astype(np.int64)
-    flat_idx = jnp.asarray(rows * s.n + s.col_idx.astype(np.int64),
-                           dtype=jnp.int32 if s.m * s.n < 2**31
-                           else jnp.int64)
-    out = _dense_masked_jit(jnp.asarray(a), jnp.asarray(b), flat_idx,
+    rows = jnp.asarray(s.row_indices(), dtype=jnp.int32)
+    cols = jnp.asarray(s.col_idx, dtype=jnp.int32)
+    out = _dense_masked_jit(jnp.asarray(a), jnp.asarray(b), rows, cols,
                             compute_dtype=compute_dtype)
     return np.asarray(out)

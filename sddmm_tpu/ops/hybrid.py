@@ -260,10 +260,11 @@ class HybridSDDMM:
         """(F,) original col id per packed slot (sentinel = n)."""
         return self._packed_cols
 
-    @property
+    @functools.cached_property
     def is_identity_layout(self) -> bool:
         """True when bt_phys[0] is exactly bt_pad (G=1, C=1, no column
-        clustering): legacy callers may pass plain (N+1, K) operands."""
+        clustering): legacy callers may pass plain (N+1, K) operands.
+        Computed once (O(n) check) and cached."""
         p = self.packed
         return (p.group_size == 1 and self.k_chunks == 1
                 and bool(np.array_equal(p.col_order,

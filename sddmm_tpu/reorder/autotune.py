@@ -183,21 +183,22 @@ def autotune(csr: CSR, k: int = 128,
     (the same reuse trick as the reference's test mode)."""
     gs, cs = _candidate_layouts(csr.n, k, compute_dtype)
     candidates: list[TunedConfig] = []
-    col_rank_cache: dict[int, np.ndarray] = {}
+    col_rank_cache: dict[float, np.ndarray] = {}  # keyed by alpha
 
     for alpha in alphas:
         base = BSMR(alpha, 0.0, csr, method=method, compute=False)
         base.run_row_reordering(csr)
         for g in gs:
-            if g > 1 and g not in col_rank_cache:
+            if g > 1 and alpha not in col_rank_cache:
                 from sddmm_tpu.reorder.cols import cluster_columns
                 order = cluster_columns(csr, alpha, method=method)
                 rank = np.empty(csr.n, dtype=np.int64)
                 rank[order] = np.arange(csr.n)
-                col_rank_cache[g] = rank
+                col_rank_cache[alpha] = rank
             bsmr = BSMR(alpha, 0.0, csr, method=method, compute=False,
                         group_size=g,
-                        col_rank=col_rank_cache.get(g))
+                        col_rank=(col_rank_cache.get(alpha)
+                                  if g > 1 else None))
             bsmr.reordered_rows = base.reordered_rows
             bsmr.cluster_ids = base.cluster_ids
             bsmr.num_clusters = base.num_clusters

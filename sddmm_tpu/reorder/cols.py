@@ -218,10 +218,7 @@ def _grouped_col_reordering(csr: CSR, reordered_rows: np.ndarray,
     dense_cols = order[member]
 
     # Entry-level density; sparse residual per (panel, col).
-    dense_lookup = np.zeros(len(uniq_g), dtype=bool)
-    dense_lookup[:] = g_dense
-    pos_in_uniq = np.searchsorted(uniq_g, gkeys)
-    e_dense = dense_lookup[pos_in_uniq]
+    e_dense = g_dense[np.searchsorted(uniq_g, gkeys)]
     ckeys = e_panel[~e_dense] * np.int64(n) + e_col[~e_dense]
     uniq_c, counts_c = np.unique(ckeys, return_counts=True)
     s_panel = uniq_c // n

@@ -167,14 +167,21 @@ class PackedMatrix:
 
 
 def _panel_group_lists(bsmr: BSMR, n: int, num_panels: int):
-    """Per-panel dense group-id lists derived from bsmr.dense_cols."""
+    """Per-panel dense group-id lists derived from bsmr.dense_cols.
+
+    Group ids live in *rank* space whenever a column clustering is
+    present (even at G=1), matching pack()'s gid_of/cols_of_groups
+    keyspace."""
     G = bsmr.group_size
     dco = bsmr.dense_col_offsets
     out = []
     for p in range(num_panels):
         dc = bsmr.dense_cols[dco[p]:dco[p + 1]]
         if G == 1:
-            out.append(dc[dc != n].astype(np.int64))
+            real = dc[dc != n].astype(np.int64)
+            if bsmr.col_rank is not None:
+                real = bsmr.col_rank[real]
+            out.append(real)
         else:
             runs = dc.reshape(-1, G)
             real = runs != n

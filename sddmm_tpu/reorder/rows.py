@@ -253,18 +253,24 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
     # Ascending stable sort by dispersion (reference :1060-1062).
     order = nonempty[np.argsort(disp[nonempty], kind="stable")]
 
-    if method == "auto":
+    auto = method == "auto"
+    if auto:
         method = "greedy" if len(order) <= 100_000 else "batched"
     # Early bail for matrices that refuse to cluster (power-law graphs):
-    # greedy-cluster a strided sample; if most sample rows become their
-    # own cluster, full clustering would cost minutes and buy nothing
-    # (measured: identical kernel time on power-law either way), so keep
-    # the dispersion order with per-row clusters.
-    if method in ("greedy", "batched") and len(order) > 8192:
-        sample = order[::max(len(order) // 2048, 1)][:2048]
+    # greedy-cluster a *contiguous* sample of the dispersion order (rows
+    # with identical occupancy patterns have identical dispersion, so
+    # cluster siblings stay adjacent — a strided sample would split every
+    # cluster and misclassify).  If most sample rows still end up as
+    # their own cluster, full clustering would cost minutes and buy
+    # nothing (measured: identical kernel time on power-law either way),
+    # so keep the dispersion order with per-row clusters.  Only applied
+    # when the method was chosen automatically.
+    if auto and len(order) > 8192:
+        mid = (len(order) - 2048) // 2
+        sample = order[mid:mid + 2048]
         _, ncl_s = _greedy_cluster(
             sample, block_ptr, block_idx, block_cnt, num_blocks, alpha)
-        if ncl_s > 0.5 * len(sample):
+        if ncl_s > 0.7 * len(sample):
             method = "unclusterable"
     if method == "unclusterable":
         cluster_of = np.full(m, -1, dtype=np.int64)

@@ -181,3 +181,15 @@ def test_pallas_tile_dot_interpret_matches():
     ok = (np.abs(got - want) < 1e-5) | (
         np.abs(got - want) / (np.abs(want) + 1e-12) < 1e-3)
     assert ok.all(), f"{(~ok).sum()} cells outside reference tolerance"
+
+
+def test_cluster_cols_g1_coverage_not_degraded():
+    """Regression: with cluster_cols=True at G=1 the packing keyspace is
+    rank-based end-to-end; dense coverage must equal the unclustered
+    packing's (the dense column sets are identical, only reordered)."""
+    csr = _matrix(seed=30, m=128, n=112)
+    base = pack(csr, BSMR(0.3, 0.2, csr), absorb_residual=False)
+    clustered = pack(csr, BSMR(0.3, 0.2, csr, cluster_cols=True),
+                     absorb_residual=False)
+    assert clustered.nnz_res == base.nnz_res
+    check_pack(csr, BSMR(0.3, 0.2, csr, cluster_cols=True), clustered)
