@@ -96,10 +96,10 @@ def main():
         # (gathered B lanes + A rows + packed output, one stream pass
         # each) at the measured stream bandwidth.
         el = 2 if args.compute_dtype == "bfloat16" else 4
-        lanes = (packed.num_super + packed.num_pairs
+        lanes = (packed.num_super + packed.num_quads + packed.num_pairs
                  + packed.num_groups) * 128
-        a_rows = (packed.num_super * 128 + packed.num_pairs * 32
-                  + packed.num_groups * 16)
+        a_rows = (packed.num_super * 128 + packed.num_quads * 64
+                  + packed.num_pairs * 32 + packed.num_groups * 16)
         sol_bytes = (lanes + a_rows) * args.k * el \
             + packed.packed_size * 4 \
             + packed.nnz_res * 2 * args.k * el
@@ -108,7 +108,8 @@ def main():
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
             f"G={tuned.group_size} C={tuned.k_chunks} "
             f"merge={tuned.merge_superpanels}) nS={packed.num_super} "
-            f"nP={packed.num_pairs} nG={packed.num_groups} res={packed.nnz_res} "
+            f"nQ={packed.num_quads} nP={packed.num_pairs} "
+            f"nG={packed.num_groups} res={packed.nnz_res} "
             f"est={tuned.est_ms:.3f}ms meas={ms:.3f}ms gflops={g:.0f} "
             f"({time.perf_counter() - t0:.0f}s total)")
 

@@ -62,12 +62,14 @@ def _storage_dtype(compute_dtype: str):
 @functools.partial(jax.jit,
                    static_argnames=("compute_dtype", "g", "kc",
                                     "pallas_dots", "super_buckets",
-                                    "pair_buckets", "group_buckets"))
-def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
-                       pair_gids, group_rows, group_gids, res_rows,
-                       res_gids, res_member, compute_dtype="tf32", g=1,
-                       kc=0, pallas_dots=False, super_buckets=(),
-                       pair_buckets=(), group_buckets=()):
+                                    "quad_buckets", "pair_buckets",
+                                    "group_buckets"))
+def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
+                       quad_gids, pair_rows, pair_gids, group_rows,
+                       group_gids, res_rows, res_gids, res_member,
+                       compute_dtype="tf32", g=1, kc=0, pallas_dots=False,
+                       super_buckets=(), quad_buckets=(), pair_buckets=(),
+                       group_buckets=()):
     """Hybrid SDDMM producing the *packed-order* flat value vector
     [supertiles ++ pairs ++ group tiles ++ residual] in the run-major
     bucketed layout (reorder/pack.py) — the framework's native layout.
@@ -102,6 +104,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, pair_rows,
     segments = []
     for rows_arr, gids_arr, buckets in (
             (super_rows, super_gids, super_buckets),
+            (quad_rows, quad_gids, quad_buckets),
             (pair_rows, pair_gids, pair_buckets),
             (group_rows, group_gids, group_buckets)):
         for (b, start, n_runs) in buckets:
@@ -230,6 +233,10 @@ class HybridSDDMM:
                                            dtype=jnp.int32))
         self._super_gids = put(jnp.asarray(packed.super_gids,
                                            dtype=jnp.int32))
+        self._quad_rows = put(jnp.asarray(packed.quad_rows,
+                                          dtype=jnp.int32))
+        self._quad_gids = put(jnp.asarray(packed.quad_gids,
+                                          dtype=jnp.int32))
         self._pair_rows = put(jnp.asarray(packed.pair_rows,
                                           dtype=jnp.int32))
         self._pair_gids = put(jnp.asarray(packed.pair_gids,
@@ -319,6 +326,7 @@ class HybridSDDMM:
         kc = k // bt_phys.shape[0]
         flat = _hybrid_packed_jit(
             a_pad, bt_phys, self._super_rows, self._super_gids,
+            self._quad_rows, self._quad_gids,
             self._pair_rows, self._pair_gids,
             self._group_rows, self._group_gids,
             self._res_rows, self._res_gids, self._res_member,
@@ -326,6 +334,7 @@ class HybridSDDMM:
             g=self.packed.group_size, kc=kc,
             pallas_dots=self.use_pallas,
             super_buckets=self.packed.super_buckets,
+            quad_buckets=self.packed.quad_buckets,
             pair_buckets=self.packed.pair_buckets,
             group_buckets=self.packed.group_buckets)
         if order == "packed":
@@ -369,6 +378,7 @@ class HybridSDDMM:
                 flat = _hybrid_packed_jit(
                     a_pad, bt_phys,
                     mask(self._super_rows), mask(self._super_gids),
+                    mask(self._quad_rows), mask(self._quad_gids),
                     mask(self._pair_rows), mask(self._pair_gids),
                     mask(self._group_rows), mask(self._group_gids),
                     mask(self._res_rows), mask(self._res_gids),
@@ -377,6 +387,7 @@ class HybridSDDMM:
                     g=self.packed.group_size, kc=kc,
                     pallas_dots=self.use_pallas,
                     super_buckets=self.packed.super_buckets,
+                    quad_buckets=self.packed.quad_buckets,
                     pair_buckets=self.packed.pair_buckets,
                     group_buckets=self.packed.group_buckets)
                 if order == "csr":

@@ -40,7 +40,8 @@ def _pad_to(x: np.ndarray, multiple: int, fill) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
-from sddmm_tpu.reorder.pack import GROUP_CELLS, PAIR_CELLS, SUPER_CELLS
+from sddmm_tpu.reorder.pack import (GROUP_CELLS, PAIR_CELLS, QUAD_CELLS,
+                                    SUPER_CELLS)
 
 
 @dataclasses.dataclass
@@ -48,6 +49,8 @@ class ShardedPack:
     """Device-ready padded/sharded index arrays."""
     super_rows: jax.Array     # ('rows', None) sharded over supertiles
     super_cols: jax.Array     # ('rows', None)
+    quad_rows: jax.Array      # ('rows', None) sharded over quad tiles
+    quad_cols: jax.Array      # ('rows', None)
     pair_rows: jax.Array      # ('rows', None) sharded over pair tiles
     pair_cols: jax.Array      # ('rows', None)
     group_rows: jax.Array     # ('rows', None) sharded over groups
@@ -56,6 +59,7 @@ class ShardedPack:
     res_cols: jax.Array       # ('rows',)
     inv_idx: jax.Array        # ('rows',) positions into the *padded* flat
     num_super_padded: int
+    num_quads_padded: int
     num_pairs_padded: int
     num_groups_padded: int
     num_res_padded: int
@@ -68,6 +72,10 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
                          packed.m)
     super_cols = _pad_to(packed.super_cols.astype(np.int32), n_rows,
                          packed.n)
+    quad_rows = _pad_to(packed.quad_rows.astype(np.int32), n_rows,
+                        packed.m)
+    quad_cols = _pad_to(packed.quad_cols.astype(np.int32), n_rows,
+                        packed.n)
     pair_rows = _pad_to(packed.pair_rows.astype(np.int32), n_rows,
                         packed.m)
     pair_cols = _pad_to(packed.pair_cols.astype(np.int32), n_rows,
@@ -80,6 +88,7 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     res_cols = _pad_to(packed.res_cols.astype(np.int32), n_rows, packed.n)
 
     ns_pad = super_rows.shape[0]
+    nq_pad = quad_rows.shape[0]
     np_pad = pair_rows.shape[0]
     ng_pad = group_rows.shape[0]
     nr_pad = res_rows.shape[0]
@@ -91,6 +100,7 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     base = 0
     for csr_arr, n_tiles_pad, cells in (
             (packed.super_csr, ns_pad, SUPER_CELLS),
+            (packed.quad_csr, nq_pad, QUAD_CELLS),
             (packed.pair_csr, np_pad, PAIR_CELLS),
             (packed.group_csr, ng_pad, GROUP_CELLS)):
         if len(csr_arr):
@@ -107,6 +117,8 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
     return ShardedPack(
         super_rows=jax.device_put(jnp.asarray(super_rows), shard2),
         super_cols=jax.device_put(jnp.asarray(super_cols), shard2),
+        quad_rows=jax.device_put(jnp.asarray(quad_rows), shard2),
+        quad_cols=jax.device_put(jnp.asarray(quad_cols), shard2),
         pair_rows=jax.device_put(jnp.asarray(pair_rows), shard2),
         pair_cols=jax.device_put(jnp.asarray(pair_cols), shard2),
         group_rows=jax.device_put(jnp.asarray(group_rows), shard2),
@@ -115,6 +127,7 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
         res_cols=jax.device_put(jnp.asarray(res_cols), shard1),
         inv_idx=jax.device_put(jnp.asarray(inv), shard1),
         num_super_padded=ns_pad,
+        num_quads_padded=nq_pad,
         num_pairs_padded=np_pad,
         num_groups_padded=ng_pad,
         num_res_padded=nr_pad,
@@ -122,9 +135,10 @@ def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, pair_rows,
-                     pair_cols, group_rows, group_cols, res_rows, res_cols,
-                     inv_idx, compute_dtype="float32"):
+def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, quad_rows,
+                     quad_cols, pair_rows, pair_cols, group_rows,
+                     group_cols, res_rows, res_cols, inv_idx,
+                     compute_dtype="float32"):
     cdtype = _storage_dtype(compute_dtype)
     precision = _PRECISION[compute_dtype]
     if cdtype != a_pad.dtype:
@@ -139,6 +153,7 @@ def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, pair_rows,
             preferred_element_type=jnp.float32, precision=precision)
 
     s_tiles = tiles_of(super_rows, super_cols)
+    q_tiles = tiles_of(quad_rows, quad_cols)
     p_tiles = tiles_of(pair_rows, pair_cols)
     g_tiles = tiles_of(group_rows, group_cols)
 
@@ -147,8 +162,8 @@ def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, pair_rows,
     res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
 
     flat = jnp.concatenate(
-        [s_tiles.reshape(-1), p_tiles.reshape(-1), g_tiles.reshape(-1),
-         res])
+        [s_tiles.reshape(-1), q_tiles.reshape(-1), p_tiles.reshape(-1),
+         g_tiles.reshape(-1), res])
     return jnp.take(flat, inv_idx)
 
 
@@ -182,6 +197,7 @@ class DistributedHybridSDDMM:
         s = self.sharded
         vals = _dist_hybrid_jit(
             a_pad, bt_pad, s.super_rows, s.super_cols,
+            s.quad_rows, s.quad_cols,
             s.pair_rows, s.pair_cols,
             s.group_rows, s.group_cols,
             s.res_rows, s.res_cols, s.inv_idx,

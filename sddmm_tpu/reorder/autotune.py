@@ -47,10 +47,11 @@ _REPEAT_COST = 0.35
 # batched tile-dot rates (M 16-row groups/s) by (precision, tile height)
 _DOT_G16_MS = {
     ("float32", 16): 11.0e6, ("float32", 32): 33.0e6,
-    ("float32", 128): 27.0e6,
-    ("tf32", 16): 11.5e6, ("tf32", 32): 66.0e6, ("tf32", 128): 54.0e6,
+    ("float32", 64): 49.0e6, ("float32", 128): 27.0e6,
+    ("tf32", 16): 11.5e6, ("tf32", 32): 66.0e6, ("tf32", 64): 99.0e6,
+    ("tf32", 128): 54.0e6,
     ("bfloat16", 16): 185.0e6, ("bfloat16", 32): 500.0e6,
-    ("bfloat16", 128): 360.0e6,
+    ("bfloat16", 64): 500.0e6, ("bfloat16", 128): 360.0e6,
 }
 
 
@@ -97,19 +98,21 @@ def estimate_ms(packed: PackedMatrix, k: int,
     G, NG, C = packed.group_size, packed.num_col_groups, int(k_chunks)
     kc = k // C
     LG = GROUP_LANES // G
-    n_tiles = packed.num_super + packed.num_pairs + packed.num_groups
+    n_tiles = (packed.num_super + packed.num_quads
+               + packed.num_pairs + packed.num_groups)
 
     # B gathers: LG group rows per tile per chunk; repeated group fetches
     # (one group used by many tiles) are discounted.
     b_src = (NG + 1) * G * kc * el
     b_rows = n_tiles * LG
     b_uniq = min(b_rows, len(np.unique(np.concatenate([
-        packed.super_gids.reshape(-1), packed.pair_gids.reshape(-1),
-        packed.group_gids.reshape(-1)])))
+        packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
+        packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1)])))
         if b_rows else 0)
     t_b = C * _take_ms(b_rows, G * kc * el, b_src, b_uniq)
     # A gathers: full-K rows, once per container (run-major layout).
     a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
+              + sum(n * 64 for _, _, n in packed.quad_buckets)
               + sum(n * 32 for _, _, n in packed.pair_buckets)
               + sum(n * 16 for _, _, n in packed.group_buckets))
     a_uniq = min(a_rows, packed.num_panels * 16)
@@ -122,8 +125,9 @@ def estimate_ms(packed: PackedMatrix, k: int,
 
     # Streaming: the dot re-reads the gathered operands and writes tiles;
     # residual elementwise + reduce.
-    from sddmm_tpu.reorder.pack import PAIR_CELLS
+    from sddmm_tpu.reorder.pack import PAIR_CELLS, QUAD_CELLS
     cells = (packed.num_super * SUPER_CELLS
+             + packed.num_quads * QUAD_CELLS
              + packed.num_pairs * PAIR_CELLS
              + packed.num_groups * GROUP_CELLS)
     gathered = (n_tiles * GROUP_LANES * k + a_rows * k) * el \
@@ -136,6 +140,8 @@ def estimate_ms(packed: PackedMatrix, k: int,
                                                  11.5e6)
              + packed.num_pairs * 2 / _DOT_G16_MS.get((compute_dtype, 32),
                                                       66.0e6)
+             + packed.num_quads * 4 / _DOT_G16_MS.get((compute_dtype, 64),
+                                                      99.0e6)
              + packed.num_super * 8 / _DOT_G16_MS.get((compute_dtype, 128),
                                                       54.0e6)) \
         * 1e3 * (k / 128.0)

@@ -4,25 +4,23 @@
 The reference packs dense blocks as a BELL-style ``blockValues`` array of
 CSR-value indices and scatters WMMA accumulator fragments through it.  On
 TPU we invert the data flow so the hot path has **no scatter at all**, and
-we pack at MXU/VPU lane granularity into three dense tile families plus a
-residual:
+we pack at MXU/VPU lane granularity into four dense tile families plus a
+residual — sub-runs of r in {1, 2, 4, 8} panels per aligned 8-panel
+window, merged over the *union* of their dense columns:
 
-- **Supertiles (128 x 128)**: an aligned window of 8 row panels merged
-  over the *union* of its dense columns.  Each B column is gathered once
-  per 128 rows instead of once per 16 — the TPU counterpart of the
-  L2-cache reuse GPUs get for free — and the batched matmul runs at full
-  MXU height.
-- **Pairs (32 x 128)**: two adjacent panels (adjacent in *cluster order*,
-  so BSMR's own clustering makes them similar) merged the same way.
-  Measured on v5e, 32-row tiles are the fastest per 16-row slice at
-  multi-pass fp32 precision (~5.7x the 16-row rate), and pairing halves
-  the sentinel-lane padding of the last chunk.
-- **Groups (16 x 128)**: single panels, for windows where even pairwise
-  unions blow up.
+- **Supertiles (128 x 128, r=8)**: each B column gathered once per 128
+  rows instead of once per 16 — the TPU counterpart of the L2-cache
+  reuse GPUs get for free — at full MXU height.
+- **Quads (64 x 128, r=4)**: the measured-best multi-pass MXU height
+  (99 M 16-row slices/s at fp32 HIGH) with 4-way column dedup.
+- **Pairs (32 x 128, r=2)**: two cluster-adjacent panels; halves the
+  sentinel-lane padding of single panels.
+- **Groups (16 x 128, r=1)**: single panels, for windows where even
+  pairwise unions blow up.
 
-The family is chosen **per 8-panel window** by a byte+MXU cost model with
-measured constants; supertiles and pairs additionally dedup columns
-shared by their member panels.
+r is chosen **per 8-panel window** by a byte+MXU cost model with
+measured constants; merging panels dedups the columns they share
+(cluster order makes adjacent panels similar by construction).
 
 **Gather groups (G)**: columns are optionally pre-clustered by similarity
 (reorder/cols.py cluster_columns) and the packing then works in *physical
@@ -40,7 +38,8 @@ whose column group is fetched by their container for any other reason
 ride along automatically.
 
 The framework's native output layout ("packed order") is the flat vector
-[supertiles ++ pairs ++ group tiles ++ residual]; CSR entry order is an
+[supertiles ++ quads ++ pairs ++ groups ++ residual] (run-major within
+bucket segments); CSR entry order is an
 explicit conversion through a precomputed permutation (every CSR index
 appears in exactly one packed slot — the invariant the reference's
 check_rphm verifies, src/BSMR.cpp:639-824).
@@ -64,6 +63,8 @@ GROUP_LANES = config.DENSE_GROUP_BLOCKS * config.BLOCK_COL_SIZE  # 128
 GROUP_CELLS = config.ROW_PANEL_SIZE * GROUP_LANES                # 2048
 PAIR_ROWS = 2 * config.ROW_PANEL_SIZE                            # 32
 PAIR_CELLS = PAIR_ROWS * GROUP_LANES                             # 4096
+QUAD_ROWS = 4 * config.ROW_PANEL_SIZE                            # 64
+QUAD_CELLS = QUAD_ROWS * GROUP_LANES                             # 8192
 SUPER_ROWS = 128
 SUPER_CELLS = SUPER_ROWS * GROUP_LANES                           # 16384
 PANELS_PER_SUPER = SUPER_ROWS // config.ROW_PANEL_SIZE           # 8
@@ -72,18 +73,19 @@ PANELS_PER_SUPER = SUPER_ROWS // config.ROW_PANEL_SIZE           # 8
 # converted at the measured effective gather bandwidth; MXU costs are the
 # measured batched-dot rates (fp32 HIGH, docs/performance.md).
 _GATHER_BYTES_PER_NS = 0.42          # ~420 GB/s effective
-_COST_SUPER_PER_COL = (128 + 128 + 128) * 4 / _GATHER_BYTES_PER_NS
-_COST_PAIR_PER_COL = (128 + 32 + 32) * 4 / _GATHER_BYTES_PER_NS
-_COST_GROUP_PER_COL = (128 + 16 + 16) * 4 / _GATHER_BYTES_PER_NS
-_MXU_GROUP16_NS = 87.0     # 16-row tile (11.5 M groups16/s)
-_MXU_PAIR16_NS = 15.2      # per 16-row slice of a 32-row tile (66 M/s)
-_MXU_SUPER16_NS = 18.4     # per 16-row slice of a 128-row tile (54 M/s)
+# Per-128-lane-chunk gather+write bytes -> ns for a container of r panels
+# (B 128 lanes + A 16r rows + out 16r*128 cells), and measured MXU ns per
+# 16-row slice by tile height (docs/performance.md).
+_COST_PER_COL = {r: (128 + 16 * r + 16 * r) * 4 / _GATHER_BYTES_PER_NS
+                 for r in (1, 2, 4, 8)}
+_MXU_SLICE16_NS = {1: 87.0, 2: 15.2, 4: 10.1, 8: 18.4}
 
-_FAM_SUPER, _FAM_PAIR, _FAM_GROUP = 0, 1, 2
-_FAM_ROWS = {_FAM_SUPER: SUPER_ROWS, _FAM_PAIR: PAIR_ROWS,
-             _FAM_GROUP: config.ROW_PANEL_SIZE}
-_FAM_CELLS = {_FAM_SUPER: SUPER_CELLS, _FAM_PAIR: PAIR_CELLS,
-              _FAM_GROUP: GROUP_CELLS}
+_FAM_SUPER, _FAM_QUAD, _FAM_PAIR, _FAM_GROUP = 0, 1, 2, 3
+_FAM_OF_R = {8: _FAM_SUPER, 4: _FAM_QUAD, 2: _FAM_PAIR, 1: _FAM_GROUP}
+_FAM_ROWS = {_FAM_SUPER: SUPER_ROWS, _FAM_QUAD: QUAD_ROWS,
+             _FAM_PAIR: PAIR_ROWS, _FAM_GROUP: config.ROW_PANEL_SIZE}
+_FAM_CELLS = {_FAM_SUPER: SUPER_CELLS, _FAM_QUAD: QUAD_CELLS,
+              _FAM_PAIR: PAIR_CELLS, _FAM_GROUP: GROUP_CELLS}
 
 
 @dataclasses.dataclass
@@ -97,6 +99,7 @@ class PackedMatrix:
     num_panels: int
     num_blocks: int   # real (unpadded) 16x16 dense blocks, for stats
     num_super: int    # (128, 128) supertiles
+    num_quads: int    # (64, 128) quad tiles
     num_pairs: int    # (32, 128) pair tiles
     num_groups: int   # (16, 128) dense groups
 
@@ -104,6 +107,7 @@ class PackedMatrix:
     # first_tile, num_runs) segments describing the flat device layout
     # (see "bucketed run-major" in pack()).
     super_buckets: tuple
+    quad_buckets: tuple
     pair_buckets: tuple
     group_buckets: tuple
 
@@ -121,6 +125,11 @@ class PackedMatrix:
     super_cols: np.ndarray   # (nS, 128) original col ids (sentinel n)
     super_gids: np.ndarray   # (nS, 128/G) physical group row ids (sent NG)
     super_csr: np.ndarray    # (nS, 128, 128) CSR index or -1
+    # Quad family.
+    quad_rows: np.ndarray    # (nQ, 64)
+    quad_cols: np.ndarray    # (nQ, 128)
+    quad_gids: np.ndarray    # (nQ, 128/G)
+    quad_csr: np.ndarray     # (nQ, 64, 128)
     # Pair family.
     pair_rows: np.ndarray    # (nP, 32)
     pair_cols: np.ndarray    # (nP, 128)
@@ -146,7 +155,8 @@ class PackedMatrix:
 
     @property
     def packed_size(self) -> int:
-        return (self.num_super * SUPER_CELLS + self.num_pairs * PAIR_CELLS
+        return (self.num_super * SUPER_CELLS + self.num_quads * QUAD_CELLS
+                + self.num_pairs * PAIR_CELLS
                 + self.num_groups * GROUP_CELLS + self.nnz_res)
 
     @property
@@ -161,7 +171,8 @@ class PackedMatrix:
     def average_block_density(self) -> float:
         """nnz density over dense tile cells (reference metric analogue,
         src/BSMR.cpp:334-442)."""
-        cells = (self.num_super * SUPER_CELLS + self.num_pairs * PAIR_CELLS
+        cells = (self.num_super * SUPER_CELLS + self.num_quads * QUAD_CELLS
+                 + self.num_pairs * PAIR_CELLS
                  + self.num_groups * GROUP_CELLS)
         return self.nnz_dense / cells if cells else 0.0
 
@@ -268,62 +279,43 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         if sum(len(x) for x in lists) == 0:
             continue  # dense-free window: everything residual
         lane_b = G  # one lane fetches G columns; costs are per group-lane
-        cost_group = sum(
-            _COST_GROUP_PER_COL * lane_b * padded(len(x))
-            + _MXU_GROUP16_NS * (padded(len(x)) // LG)
-            for x in lists if len(x))
-        pair_lists = []
-        cost_pair = 0.0
-        for i in range(0, len(ps), 2):
-            chunk = [x for x in lists[i:i + 2] if len(x)]
-            u = (np.unique(np.concatenate(chunk)) if chunk
-                 else np.zeros(0, dtype=np.int64))
-            pair_lists.append(u)
-            if len(u):
-                cost_pair += (_COST_PAIR_PER_COL * lane_b * padded(len(u))
-                              + _MXU_PAIR16_NS * 2 * (padded(len(u)) // LG))
-        union = np.unique(np.concatenate([x for x in lists if len(x)]))
-        cost_super = (_COST_SUPER_PER_COL * lane_b * padded(len(union))
-                      + _MXU_SUPER16_NS * 8 * (padded(len(union)) // LG))
+        # Cost of carving the window into sub-runs of r panels, for every
+        # height the MXU supports: union dedup + per-chunk gather bytes
+        # vs the measured per-height MXU rate.
+        sub_unions = {}
+        costs = {}
+        for r in (1, 2, 4, 8):
+            if r == 2 and not pair_panels:
+                continue
+            if r in (4, 8) and not merge_superpanels:
+                continue
+            unions_r = []
+            cost_r = 0.0
+            for i in range(0, len(ps), r):
+                chunk = [x for x in lists[i:i + r] if len(x)]
+                u = (np.unique(np.concatenate(chunk)) if chunk
+                     else np.zeros(0, dtype=np.int64))
+                unions_r.append(u)
+                if len(u):
+                    cost_r += (_COST_PER_COL[r] * lane_b * padded(len(u))
+                               + _MXU_SLICE16_NS[r] * r
+                               * (padded(len(u)) // LG))
+            sub_unions[r] = unions_r
+            costs[r] = cost_r
+        r_best = min(costs, key=lambda r: costs[r])
 
-        options = [( "group", cost_group)]
-        if pair_panels:
-            options.append(("pair", cost_pair))
-        if merge_superpanels:
-            options.append(("super", cost_super))
-        mode = min(options, key=lambda t: t[1])[0]
-
-        if mode == "super":
+        for i0 in range(0, len(ps), r_best):
+            members = ps[i0:i0 + r_best]
+            u = sub_unions[r_best][i0 // r_best]
+            if not len(u):
+                continue
             cid = len(cont_family)
-            cont_family.append(_FAM_SUPER)
-            cont_panels.append(ps)
-            cont_groups.append(union)
-            for j, p in enumerate(ps):
+            cont_family.append(_FAM_OF_R[r_best])
+            cont_panels.append(members)
+            cont_groups.append(u)
+            for j, p in enumerate(members):
                 panel_container[p] = cid
                 panel_offset[p] = j
-        elif mode == "pair":
-            for i in range(0, len(ps), 2):
-                members = ps[i:i + 2]
-                u = pair_lists[i // 2]
-                if not len(u):
-                    continue
-                cid = len(cont_family)
-                cont_family.append(_FAM_PAIR)
-                cont_panels.append(members)
-                cont_groups.append(u)
-                for j, p in enumerate(members):
-                    panel_container[p] = cid
-                    panel_offset[p] = j
-        else:
-            for i, p in enumerate(ps):
-                if not len(lists[i]):
-                    continue
-                cid = len(cont_family)
-                cont_family.append(_FAM_GROUP)
-                cont_panels.append([p])
-                cont_groups.append(lists[i])
-                panel_container[p] = cid
-                panel_offset[p] = 0
 
     num_cont = len(cont_family)
 
@@ -387,7 +379,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # coarse block structure: a 7x A-traffic saving).
 
     fam_conts: dict[int, list[int]] = {
-        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+        _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
     for cid in range(num_cont):
         fam_conts[cont_family[cid]].append(cid)
 
@@ -395,9 +387,9 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         fam_conts[f].sort(key=lambda cid: (bucket_of(chunks_of(cid)), cid))
 
     fam_tiles: dict[int, list[tuple[int, np.ndarray]]] = {
-        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+        _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
     fam_buckets: dict[int, list[tuple[int, int, int]]] = {
-        _FAM_SUPER: [], _FAM_PAIR: [], _FAM_GROUP: []}
+        _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
     for f, cids in fam_conts.items():
         for cid in cids:
             g = cont_groups[cid]
@@ -428,18 +420,20 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         return t_rows, t_gids, t_cols, t_csr
 
     super_rows, super_gids, super_cols, super_csr = build_family(_FAM_SUPER)
+    quad_rows_a, quad_gids, quad_cols, quad_csr = build_family(_FAM_QUAD)
     pair_rows_a, pair_gids, pair_cols, pair_csr = build_family(_FAM_PAIR)
     group_rows, group_gids, group_cols, group_csr = build_family(_FAM_GROUP)
-    num_super, num_pairs, num_groups = (len(fam_tiles[_FAM_SUPER]),
-                                        len(fam_tiles[_FAM_PAIR]),
-                                        len(fam_tiles[_FAM_GROUP]))
+    num_super, num_quads, num_pairs, num_groups = (
+        len(fam_tiles[_FAM_SUPER]), len(fam_tiles[_FAM_QUAD]),
+        len(fam_tiles[_FAM_PAIR]), len(fam_tiles[_FAM_GROUP]))
 
     base_super = 0
-    base_pair = num_super * SUPER_CELLS
+    base_quad = num_super * SUPER_CELLS
+    base_pair = base_quad + num_quads * QUAD_CELLS
     base_group = base_pair + num_pairs * PAIR_CELLS
     dense_slots = base_group + num_groups * GROUP_CELLS
-    fam_base = {_FAM_SUPER: base_super, _FAM_PAIR: base_pair,
-                _FAM_GROUP: base_group}
+    fam_base = {_FAM_SUPER: base_super, _FAM_QUAD: base_quad,
+                _FAM_PAIR: base_pair, _FAM_GROUP: base_group}
 
     # Per-tile flat-slot origin and row stride under the run-major
     # bucketed layout.
@@ -526,8 +520,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     entry_idx = np.arange(csr.nnz, dtype=np.int64)
     # Fill the tile-major csr arrays (validation / multi-chip layout).
     lane_m = lgrp_e * G + entry_member
-    for f, csr_arr in ((_FAM_SUPER, super_csr), (_FAM_PAIR, pair_csr),
-                       (_FAM_GROUP, group_csr)):
+    for f, csr_arr in ((_FAM_SUPER, super_csr), (_FAM_QUAD, quad_csr),
+                       (_FAM_PAIR, pair_csr), (_FAM_GROUP, group_csr)):
         sel = matched & (fam_e == f)
         csr_arr[tile_e[sel], local_row[sel], lane_m[sel]] = entry_idx[sel]
 
@@ -553,6 +547,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     packed_cols = np.full(F, n, dtype=np.int64)
     for f, csr_arr, rows_arr, cols_arr in (
             (_FAM_SUPER, super_csr, super_rows, super_cols),
+            (_FAM_QUAD, quad_csr, quad_rows_a, quad_cols),
             (_FAM_PAIR, pair_csr, pair_rows_a, pair_cols),
             (_FAM_GROUP, group_csr, group_rows, group_cols)):
         nT, rows_h = csr_arr.shape[0], csr_arr.shape[1]
@@ -579,8 +574,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     return PackedMatrix(
         m=m, n=n, k_hint=k_hint, nnz=csr.nnz,
         num_panels=num_panels, num_blocks=num_blocks,
-        num_super=num_super, num_pairs=num_pairs, num_groups=num_groups,
+        num_super=num_super, num_quads=num_quads, num_pairs=num_pairs,
+        num_groups=num_groups,
         super_buckets=tuple(fam_buckets[_FAM_SUPER]),
+        quad_buckets=tuple(fam_buckets[_FAM_QUAD]),
         pair_buckets=tuple(fam_buckets[_FAM_PAIR]),
         group_buckets=tuple(fam_buckets[_FAM_GROUP]),
         group_size=G, num_col_groups=NG,
@@ -588,6 +585,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         a_row_gather=a_row_gather,
         super_rows=super_rows, super_cols=super_cols,
         super_gids=super_gids.astype(np.int32), super_csr=super_csr,
+        quad_rows=quad_rows_a.astype(np.int32), quad_cols=quad_cols,
+        quad_gids=quad_gids.astype(np.int32), quad_csr=quad_csr,
         pair_rows=pair_rows_a.astype(np.int32), pair_cols=pair_cols,
         pair_gids=pair_gids.astype(np.int32), pair_csr=pair_csr,
         group_rows=group_rows.astype(np.int32),

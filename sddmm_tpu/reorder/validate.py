@@ -126,11 +126,12 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     """Every CSR index appears exactly once across supertiles + group
     tiles + residual, at coordinates consistent with the packed layout."""
     sflat = packed.super_csr.reshape(-1)
+    qflat = packed.quad_csr.reshape(-1)
     pflat = packed.pair_csr.reshape(-1)
     gflat = packed.group_csr.reshape(-1)
     all_idx = np.concatenate(
-        [sflat[sflat >= 0], pflat[pflat >= 0], gflat[gflat >= 0],
-         packed.res_csr])
+        [sflat[sflat >= 0], qflat[qflat >= 0], pflat[pflat >= 0],
+         gflat[gflat >= 0], packed.res_csr])
     assert len(all_idx) == csr.nnz, \
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
@@ -139,6 +140,7 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     rows_of = csr.row_indices()
     for csr_arr, rows_arr, cols_arr, fam in (
             (packed.super_csr, packed.super_rows, packed.super_cols, "S"),
+            (packed.quad_csr, packed.quad_rows, packed.quad_cols, "Q"),
             (packed.pair_csr, packed.pair_rows, packed.pair_cols, "P"),
             (packed.group_csr, packed.group_rows, packed.group_cols, "G")):
         t_ids, r_loc, c_loc = np.nonzero(csr_arr >= 0)

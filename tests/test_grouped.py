@@ -193,3 +193,24 @@ def test_cluster_cols_g1_coverage_not_degraded():
                      absorb_residual=False)
     assert clustered.nnz_res == base.nnz_res
     check_pack(csr, BSMR(0.3, 0.2, csr, cluster_cols=True), clustered)
+
+
+def test_quad_family_used_and_correct():
+    """Windows whose 4-panel unions dedup well should form 64-row quad
+    tiles; results must stay exact."""
+    # highly overlapping panels: wide blocks spanning many rows
+    csr = generate.block_clustered(32, 24, group_rows=64, group_cols=64,
+                                   block_prob=0.2, block_density=0.5,
+                                   noise_density=0.0, seed=40)
+    bsmr = BSMR(0.3, 0.1, csr)
+    packed = pack(csr, bsmr)
+    assert packed.num_super + packed.num_quads + packed.num_pairs > 0
+    check_pack(csr, bsmr, packed)
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=41)
+    b = generate.make_dense(k, csr.n, seed=42)
+    runner = HybridSDDMM(packed, compute_dtype="float32")
+    got = np.asarray(runner(a, b, order="csr"))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, str(res)
