@@ -420,6 +420,14 @@ class HybridSDDMM:
             return min(times)
 
         t_many, t_one = best(f_many), best(f_one)
+        if t_many - t_one <= 1e-6 and iterations > 1:
+            # Degenerate difference: a lucky t_many / unlucky t_one
+            # sample under tunnel jitter.  Retry once with more samples,
+            # then fall back to the (upper-bound) undifferenced time.
+            t_many = min(t_many, best(f_many))
+            t_one = min(t_one, best(f_one))
+            if t_many - t_one <= 1e-6:
+                return t_many * 1e3 / iterations
         # 1 us floor: below that the dispatch-latency difference is noise
         # (tiny matrices) and would report absurd throughput.
         return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
