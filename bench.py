@@ -68,6 +68,7 @@ def main():
 
     results = {}
     sols = {}
+    csr_ratio = {}
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
@@ -92,6 +93,24 @@ def main():
             ms = min(ms, tuned.measured_ms)
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
+        # Same-chip csr gather-dot baseline (the cuSPARSE-equivalent):
+        # measures algorithmic speedup independent of hardware.
+        import jax.numpy as jnp
+        from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
+        a_d = jnp.asarray(a)
+        bt_d = jnp.asarray(b.T.copy())
+        rows_d = jnp.asarray(csr.row_indices(), dtype=jnp.int32)
+        cols_d = jnp.asarray(csr.col_idx, dtype=jnp.int32)
+
+        def _csr_body(c, a_d, bt_d, rows_d, cols_d):
+            r2 = jnp.where(c > jnp.float32(-1e30), rows_d, 0)
+            return csr_sddmm_jax(a_d, bt_d, r2, cols_d)
+
+        from sddmm_tpu.utils.timing import measure_loop_ms
+        csr_ms = measure_loop_ms(_csr_body, (a_d, bt_d, rows_d, cols_d),
+                                 iterations=15)
+        csr_ratio[name] = round(csr_ms / ms, 2)
+
         # Speed-of-light: minimum HBM bytes any tile approach must move
         # (gathered B lanes + A rows + packed output, one stream pass
         # each) at the measured stream bandwidth.
@@ -122,6 +141,9 @@ def main():
         "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS_K128, 3),
         "per_matrix": {k: round(v, 1) for k, v in results.items()},
         "sol_fraction": sols,
+        "speedup_vs_csr_same_chip": csr_ratio,
+        "geomean_vs_csr": round(float(np.exp(np.mean(np.log(
+            np.maximum(list(csr_ratio.values()), 1e-9))))), 2),
     }))
 
 

@@ -63,3 +63,39 @@ def gflops(nnz: int, k: int, time_ms: float) -> float:
     if time_ms <= 0:
         return 0.0
     return 2.0 * nnz * k / (time_ms * 1e6)
+
+
+def measure_loop_ms(body, args, iterations: int = 20,
+                    repeats: int = 3) -> float:
+    """Loop-differenced device time (ms/call) of ``body(carry, *args)``
+    (the methodology in docs/performance.md, reusable for any op)."""
+    import jax
+    import jax.numpy as jnp
+
+    def looped(n):
+        @jax.jit
+        def f(*a):
+            def it(_, c):
+                return jnp.float32(1e-38) * jnp.sum(
+                    body(c, *a)).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, it, jnp.float32(0.0))
+        return f
+
+    f_many, f_one = looped(iterations), looped(1)
+
+    def best(f):
+        float(f(*args))
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(f(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_many, t_one = best(f_many), best(f_one)
+    if t_many - t_one <= 1e-6 and iterations > 1:
+        t_many = min(t_many, best(f_many))
+        t_one = min(t_one, best(f_one))
+        if t_many - t_one <= 1e-6:
+            return t_many * 1e3 / iterations
+    return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
