@@ -57,8 +57,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
+
     from sddmm_tpu.data import generate
+    from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
     from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.utils.timing import measure_loop_ms
     from sddmm_tpu.reorder.autotune import autotune
     from sddmm_tpu.utils.timing import gflops
 
@@ -95,8 +99,6 @@ def main():
         results[name] = g
         # Same-chip csr gather-dot baseline (the cuSPARSE-equivalent):
         # measures algorithmic speedup independent of hardware.
-        import jax.numpy as jnp
-        from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
         a_d = jnp.asarray(a)
         bt_d = jnp.asarray(b.T.copy())
         rows_d = jnp.asarray(csr.row_indices(), dtype=jnp.int32)
@@ -106,7 +108,6 @@ def main():
             r2 = jnp.where(c > jnp.float32(-1e30), rows_d, 0)
             return csr_sddmm_jax(a_d, bt_d, r2, cols_d)
 
-        from sddmm_tpu.utils.timing import measure_loop_ms
         csr_ms = measure_loop_ms(_csr_body, (a_d, bt_d, rows_d, cols_d),
                                  iterations=15)
         csr_ratio[name] = round(csr_ms / ms, 2)

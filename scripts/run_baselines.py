@@ -28,37 +28,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def measure_tool(body, args, iterations=20, repeats=3):
-    """Device-kernel seconds per call via the loop-differencing method
-    (docs/performance.md): run the jitted body N times chained through an
-    opaque perturbation, fetch a scalar, subtract the 1-iteration time.
-    ``body(carry, *args) -> y`` must consume device-resident args."""
-    import jax
-    import jax.numpy as jnp
-
-    def looped(n):
-        @jax.jit
-        def f(*a):
-            def it(_, c):
-                return jnp.float32(1e-38) * jnp.sum(
-                    body(c, *a)).astype(jnp.float32)
-            return jax.lax.fori_loop(0, n, it, jnp.float32(0.0))
-        return f
-
-    f_many, f_one = looped(iterations), looped(1)
-
-    def best(f):
-        float(f(*args))
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(f(*args))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return max(best(f_many) - best(f_one), 1e-9) / (iterations - 1)
-
-
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("matrix_dir", type=Path)
@@ -73,6 +42,8 @@ def main(argv=None):
     import numpy as np
 
     import jax.numpy as jnp
+
+    from sddmm_tpu.utils.timing import measure_loop_ms
 
     from sddmm_tpu.data import generate, io
     from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
@@ -111,7 +82,7 @@ def main(argv=None):
                     r2 = jnp.where(c > jnp.float32(-1e30), rows_d, 0)
                     return csr_sddmm_jax(a_d, bt_d, r2, cols_d)
 
-                dt = measure_tool(body_csr, (a_d, bt_d, rows_d, cols_d))
+                dt = measure_loop_ms(body_csr, (a_d, bt_d, rows_d, cols_d)) / 1e3
                 extra["csr_gflops"] = 2 * csr.nnz * k / dt / 1e9
                 if golden is not None:
                     res = check_values(golden, np.asarray(
@@ -131,7 +102,7 @@ def main(argv=None):
                         a2, b_d, rows_i, cols_i,
                         compute_dtype=args.compute_dtype)
 
-                dt = measure_tool(body_dense, (a_d, b_d, rows_i, cols_i))
+                dt = measure_loop_ms(body_dense, (a_d, b_d, rows_i, cols_i)) / 1e3
                 extra["dense_gflops"] = 2 * csr.nnz * k / dt / 1e9
                 if golden is not None:
                     res = check_values(golden, dense_masked_sddmm(

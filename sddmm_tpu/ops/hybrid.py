@@ -71,7 +71,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                        super_buckets=(), quad_buckets=(), pair_buckets=(),
                        group_buckets=()):
     """Hybrid SDDMM producing the *packed-order* flat value vector
-    [supertiles ++ pairs ++ group tiles ++ residual] in the run-major
+    [supertiles ++ quads ++ pairs ++ groups ++ residual] in the run-major
     bucketed layout (reorder/pack.py) — the framework's native layout.
 
     a_pad: (M+1, K) with zero sentinel row.
@@ -402,35 +402,15 @@ class HybridSDDMM:
                           repeats: int = 3, order: str = "packed") -> float:
         """Average device kernel time (ms) via the looped-timing method:
         time N-iteration and 1-iteration programs and difference away the
-        fixed dispatch/transfer latency."""
-        import time as _time
+        fixed dispatch/transfer latency (utils.timing.diff_time_ms)."""
+        from sddmm_tpu.utils.timing import diff_time_ms
 
         f_many = self.make_looped_fn(iterations, order=order)
         f_one = self.make_looped_fn(1, order=order)
-        # warmup/compile both
-        float(f_many(a_pad, bt_phys))
-        float(f_one(a_pad, bt_phys))
-
-        def best(f):
-            times = []
-            for _ in range(repeats):
-                t0 = _time.perf_counter()
-                float(f(a_pad, bt_phys))  # scalar fetch forces completion
-                times.append(_time.perf_counter() - t0)
-            return min(times)
-
-        t_many, t_one = best(f_many), best(f_one)
-        if t_many - t_one <= 1e-6 and iterations > 1:
-            # Degenerate difference: a lucky t_many / unlucky t_one
-            # sample under tunnel jitter.  Retry once with more samples,
-            # then fall back to the (upper-bound) undifferenced time.
-            t_many = min(t_many, best(f_many))
-            t_one = min(t_one, best(f_one))
-            if t_many - t_one <= 1e-6:
-                return t_many * 1e3 / iterations
-        # 1 us floor: below that the dispatch-latency difference is noise
-        # (tiny matrices) and would report absurd throughput.
-        return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
+        # the scalar fetch forces completion through the tunnel
+        return diff_time_ms(lambda: float(f_many(a_pad, bt_phys)),
+                            lambda: float(f_one(a_pad, bt_phys)),
+                            iterations, repeats)
 
     @staticmethod
     def from_csr(csr: CSR, alpha: float = config.DEFAULT_ALPHA,

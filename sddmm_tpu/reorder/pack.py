@@ -293,8 +293,12 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
             cost_r = 0.0
             for i in range(0, len(ps), r):
                 chunk = [x for x in lists[i:i + r] if len(x)]
-                u = (np.unique(np.concatenate(chunk)) if chunk
-                     else np.zeros(0, dtype=np.int64))
+                if not chunk:
+                    u = np.zeros(0, dtype=np.int64)
+                elif len(chunk) == 1:
+                    u = chunk[0]  # already duplicate-free
+                else:
+                    u = np.unique(np.concatenate(chunk))
                 unions_r.append(u)
                 if len(u):
                     cost_r += (_COST_PER_COL[r] * lane_b * padded(len(u))

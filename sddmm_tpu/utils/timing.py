@@ -65,10 +65,35 @@ def gflops(nnz: int, k: int, time_ms: float) -> float:
     return 2.0 * nnz * k / (time_ms * 1e6)
 
 
+def diff_time_ms(run_many, run_one, iterations: int,
+                 repeats: int = 3) -> float:
+    """Difference the wall time of an N-iteration and a 1-iteration
+    device program (each a zero-arg callable that blocks on completion),
+    the loop-differencing methodology in docs/performance.md.  Retries
+    and falls back to the undifferenced upper bound when tunnel jitter
+    produces a degenerate (<= 1 us) difference."""
+    def best(f):
+        f()
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            f()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_many, t_one = best(run_many), best(run_one)
+    if t_many - t_one <= 1e-6 and iterations > 1:
+        t_many = min(t_many, best(run_many))
+        t_one = min(t_one, best(run_one))
+        if t_many - t_one <= 1e-6:
+            return t_many * 1e3 / iterations
+    return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
+
+
 def measure_loop_ms(body, args, iterations: int = 20,
                     repeats: int = 3) -> float:
     """Loop-differenced device time (ms/call) of ``body(carry, *args)``
-    (the methodology in docs/performance.md, reusable for any op)."""
+    (docs/performance.md methodology, reusable for any op)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,20 +107,6 @@ def measure_loop_ms(body, args, iterations: int = 20,
         return f
 
     f_many, f_one = looped(iterations), looped(1)
-
-    def best(f):
-        float(f(*args))
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(f(*args))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    t_many, t_one = best(f_many), best(f_one)
-    if t_many - t_one <= 1e-6 and iterations > 1:
-        t_many = min(t_many, best(f_many))
-        t_one = min(t_one, best(f_one))
-        if t_many - t_one <= 1e-6:
-            return t_many * 1e3 / iterations
-    return max(t_many - t_one, 1e-6) * 1e3 / (iterations - 1)
+    return diff_time_ms(lambda: float(f_many(*args)),
+                        lambda: float(f_one(*args)),
+                        iterations, repeats)
