@@ -91,8 +91,8 @@ def run_once(csr, k, alpha, delta, args, input_file):
                  row_reordering_ms=bsmr.row_reordering_ms,
                  col_reordering_ms=bsmr.col_reordering_ms,
                  packing_ms=t_pack.ms,
-                 dense_grid=(packed.num_super, packed.num_pairs,
-                             packed.num_groups),
+                 dense_grid=(packed.num_super, packed.num_quads,
+                             packed.num_pairs, packed.num_groups),
                  sparse_grid=(packed.nnz_res, 0, 0),
                  num_dense_data=packed.nnz_dense,
                  num_sparse_data=packed.nnz_res,
@@ -158,8 +158,6 @@ def main(argv=None) -> int:
         shared.run_row_reordering(csr)
         for delta in deltas:
             for k in ks:
-                class _A:  # pass-through of CLI knobs with fixed reorder
-                    pass
                 log = _run_sweep_cell(csr, shared, k, alpha, delta, args)
                 name = (f"BSMR_k_{k}_a_{to_trimmed_string(alpha)}"
                         f"_d_{to_trimmed_string(delta)}.log")
@@ -202,8 +200,8 @@ def _run_sweep_cell(csr, shared_bsmr, k, alpha, delta, args):
                  row_reordering_ms=bsmr.row_reordering_ms,
                  col_reordering_ms=bsmr.col_reordering_ms,
                  packing_ms=t_pack.ms,
-                 dense_grid=(packed.num_super, packed.num_pairs,
-                             packed.num_groups),
+                 dense_grid=(packed.num_super, packed.num_quads,
+                             packed.num_pairs, packed.num_groups),
                  sparse_grid=(packed.nnz_res, 0, 0),
                  num_dense_data=packed.nnz_dense,
                  num_sparse_data=packed.nnz_res,

@@ -181,3 +181,28 @@ def load_snap(path: str | Path, dtype=np.float32) -> CSR:
     coo = COO((num_nodes, num_nodes), rows, cols,
               np.ones(len(rows), dtype=dtype))
     return coo.to_csr(dtype=dtype)
+
+
+def save_npz_graph(path: str | Path, csr: CSR) -> None:
+    """Write the FlashSparse-style .npz graph format the reference's
+    harness converts to for cross-tool comparisons
+    (reference scripts/convert_mtx_to_npz.py: keys src_li/dst_li/
+    num_nodes_src/num_nodes_dst/num_edges)."""
+    np.savez(Path(path),
+             src_li=csr.row_indices().astype(np.int32),
+             dst_li=csr.col_idx.astype(np.int32),
+             num_nodes_src=csr.m,
+             num_nodes_dst=csr.n,
+             num_edges=csr.nnz)
+
+
+def load_npz_graph(path: str | Path, dtype=np.float32) -> CSR:
+    """Load a FlashSparse-style .npz graph back into CSR (unit values,
+    pattern semantics — matching the converter above)."""
+    with np.load(Path(path)) as z:
+        rows = z["src_li"].astype(np.int64)
+        cols = z["dst_li"].astype(np.int64)
+        m = int(z["num_nodes_src"])
+        n = int(z["num_nodes_dst"])
+    coo = COO((m, n), rows, cols, np.ones(len(rows), dtype=dtype))
+    return coo.to_csr(dtype=dtype)

@@ -34,11 +34,20 @@ def batched_csr_sddmm(a_batch, b_batch, s: CSR) -> np.ndarray:
 
 class BatchedHybridSDDMM:
     """vmap of the hybrid path over a batch of (A, B) operand pairs sharing
-    one sparsity pattern (the reference's batch mode semantics)."""
+    one sparsity pattern (the reference's batch mode semantics).
+
+    Works for any layout: each batch element is routed through
+    ``runner.device_prepare`` so grouped/chunked packings (G > 1, C > 1,
+    column clustering) build their physical B^T layout on device inside
+    the vmap."""
 
     def __init__(self, runner: HybridSDDMM):
         self._runner = runner
-        self._fn = jax.jit(jax.vmap(runner.run_padded))
+
+        def one(a_pad, bt_pad):
+            return runner.run_padded(*runner.device_prepare(a_pad, bt_pad))
+
+        self._fn = jax.jit(jax.vmap(one))
 
     def __call__(self, a_batch, b_batch):
         a_batch = np.asarray(a_batch)

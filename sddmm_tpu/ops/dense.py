@@ -18,12 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sddmm_tpu.data.sparse import CSR
-
-_PRECISION = {
-    "float32": jax.lax.Precision.HIGHEST,
-    "tf32": jax.lax.Precision.HIGH,
-    "bfloat16": jax.lax.Precision.DEFAULT,
-}
+from sddmm_tpu.ops.hybrid import _PRECISION
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))

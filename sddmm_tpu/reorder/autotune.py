@@ -213,7 +213,8 @@ def autotune(csr: CSR, k: int = 128,
                 bsmr.run_col_reordering(csr, delta=delta)
                 for merge in (False, True):
                     packed = pack(csr, bsmr, k_hint=k,
-                                  merge_superpanels=merge)
+                                  merge_superpanels=merge,
+                                  compute_dtype=compute_dtype)
                     for c in cs:
                         est = estimate_ms(packed, k, compute_dtype, c)
                         if verbose:

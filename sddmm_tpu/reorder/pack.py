@@ -71,14 +71,36 @@ PANELS_PER_SUPER = SUPER_ROWS // config.ROW_PANEL_SIZE           # 8
 
 # Per-window family decision, in nanoseconds.  Gather/stream bytes are
 # converted at the measured effective gather bandwidth; MXU costs are the
-# measured batched-dot rates (fp32 HIGH, docs/performance.md).
+# measured batched-dot rates by compute dtype (docs/performance.md,
+# shared with autotune._DOT_G16_MS).
 _GATHER_BYTES_PER_NS = 0.42          # ~420 GB/s effective
 # Per-128-lane-chunk gather+write bytes -> ns for a container of r panels
 # (B 128 lanes + A 16r rows + out 16r*128 cells), and measured MXU ns per
 # 16-row slice by tile height (docs/performance.md).
 _COST_PER_COL = {r: (128 + 16 * r + 16 * r) * 4 / _GATHER_BYTES_PER_NS
                  for r in (1, 2, 4, 8)}
-_MXU_SLICE16_NS = {1: 87.0, 2: 15.2, 4: 10.1, 8: 18.4}
+
+
+def _mxu_slice16_ns(compute_dtype: str) -> dict:
+    """ns per 16-row MXU slice by sub-run height r, from the measured
+    batched-dot rates autotune uses (autotune._DOT_G16_MS)."""
+    from sddmm_tpu.reorder.autotune import _DOT_G16_MS
+    out = {}
+    for r, h in ((1, 16), (2, 32), (4, 64), (8, 128)):
+        rate = _DOT_G16_MS.get((compute_dtype, h))
+        if rate is None:
+            rate = _DOT_G16_MS[("tf32", h)]
+        out[r] = 1e9 / rate  # ns per 16-row group
+    return out
+
+
+def _bucket_of(chunks: int) -> int:
+    """Power-of-2 device bucket a container of ``chunks`` 128-lane
+    chunks is padded to at runtime."""
+    b = 1
+    while b < chunks:
+        b *= 2
+    return b
 
 _FAM_SUPER, _FAM_QUAD, _FAM_PAIR, _FAM_GROUP = 0, 1, 2, 3
 _FAM_OF_R = {8: _FAM_SUPER, 4: _FAM_QUAD, 2: _FAM_PAIR, 1: _FAM_GROUP}
@@ -207,10 +229,15 @@ def _panel_group_lists(bsmr: BSMR, n: int, num_panels: int):
 def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          merge_superpanels: bool = True,
          pair_panels: bool = True,
-         absorb_residual: bool = True) -> PackedMatrix:
+         absorb_residual: bool = True,
+         compute_dtype: str = "tf32") -> PackedMatrix:
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
     G = int(bsmr.group_size)
+    if G < 1 or GROUP_LANES % G:
+        raise ValueError(
+            f"group_size must divide {GROUP_LANES} (a power of 2 <= "
+            f"{GROUP_LANES}); got {G}")
     LG = GROUP_LANES // G            # groups per 128-lane tile chunk
     reordered = bsmr.reordered_rows
     num_panels = bsmr.num_row_panels
@@ -271,6 +298,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     panel_container = np.full(num_panels, -1, dtype=np.int64)
     panel_offset = np.zeros(num_panels, dtype=np.int64)  # 16-row slot
 
+    mxu_ns = _mxu_slice16_ns(compute_dtype)
     num_windows = (num_panels + PANELS_PER_SUPER - 1) // PANELS_PER_SUPER
     for w in range(num_windows):
         ps = [p for p in range(w * PANELS_PER_SUPER,
@@ -301,9 +329,11 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                     u = np.unique(np.concatenate(chunk))
                 unions_r.append(u)
                 if len(u):
-                    cost_r += (_COST_PER_COL[r] * lane_b * padded(len(u))
-                               + _MXU_SLICE16_NS[r] * r
-                               * (padded(len(u)) // LG))
+                    # Cost what the kernel will actually execute: the
+                    # container is padded to a power-of-2 chunk bucket.
+                    chunks = _bucket_of(padded(len(u)) // LG)
+                    cost_r += (_COST_PER_COL[r] * lane_b * chunks * LG
+                               + mxu_ns[r] * r * chunks)
             sub_unions[r] = unions_r
             costs[r] = cost_r
         r_best = min(costs, key=lambda r: costs[r])
@@ -334,11 +364,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     entry_member = member_of(col_idx.astype(np.int64))
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
-    def bucket_of(chunks: int) -> int:
-        b = 1
-        while b < chunks:
-            b *= 2
-        return b
+    bucket_of = _bucket_of
 
     def chunks_of(cid: int) -> int:
         return max(padded(len(cont_groups[cid])) // LG, 1)

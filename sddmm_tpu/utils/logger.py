@@ -118,15 +118,15 @@ class RunLog:
         a(f"[bsmr_rowReordering : {self.row_reordering_ms}]")
         a(f"[bsmr_colReordering : {self.col_reordering_ms}]")
         a(f"[bsmr_reordering : {self.reordering_ms}]")
-        a(f"[gridDim_dense : {self.dense_grid[0]}, {self.dense_grid[1]}, "
-          f"{self.dense_grid[2]}]")
+        a(f"[gridDim_dense : "
+          f"{', '.join(str(x) for x in self.dense_grid)}]")
         a(f"[blockDim_dense : 0, 0, 0]")
         a(f"[gridDim_sparse : {self.sparse_grid[0]}, {self.sparse_grid[1]}, "
           f"{self.sparse_grid[2]}]")
         a(f"[blockDim_sparse : 0, 0, 0]")
-        a(f"[bsmr_numDenseThreadBlocks : {self.dense_grid[0]}]")
+        a(f"[bsmr_numDenseThreadBlocks : {sum(self.dense_grid)}]")
         a(f"[bsmr_numSparseThreadBlocks : {self.sparse_grid[0]}]")
-        ratio = (self.dense_grid[0] / self.sparse_grid[0]
+        ratio = (sum(self.dense_grid) / self.sparse_grid[0]
                  if self.sparse_grid[0] else 0.0)
         a(f"[bsmr_threadBlockRatio : {ratio:.2f}]")
         a(f"[bsmr_numDenseData : {self.num_dense_data}]")

@@ -81,6 +81,10 @@ def diff_time_ms(run_many, run_one, iterations: int,
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    if iterations < 2:
+        # Differencing needs >= 2 iterations; report the undifferenced
+        # upper bound (includes dispatch/transfer latency).
+        return best(run_many) * 1e3 / max(iterations, 1)
     t_many, t_one = best(run_many), best(run_one)
     if t_many - t_one <= 1e-6 and iterations > 1:
         t_many = min(t_many, best(run_many))

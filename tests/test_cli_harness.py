@@ -103,7 +103,11 @@ def test_scaling_bench_script_runs(capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert '"results"' in out
-    assert "max_rel_err=0.00e+00" in out
+    # sharded fp32 may reassociate reductions; require the reference
+    # tolerance class, not exact zero
+    import json as _json
+    payload = _json.loads(out[out.index("{"):])
+    assert all(r["max_rel_err"] < 1e-3 for r in payload["results"])
 
 
 def test_run_baselines_script_runs(tmp_path, capsys):

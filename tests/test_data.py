@@ -151,3 +151,36 @@ def test_smtx_to_bf16_hybrid_pipeline(tmp_path):
     rel = np.abs(got - want) / (np.abs(want) + 1e-6)
     assert np.median(rel) < 5e-3
     assert rel.max() < 5e-2
+
+
+def test_npz_graph_roundtrip(tmp_path, small_random_csr):
+    from sddmm_tpu.data import io
+
+    path = tmp_path / "g.npz"
+    io.save_npz_graph(path, small_random_csr)
+    back = io.load_npz_graph(path)
+    assert back.m == small_random_csr.m
+    assert back.n == small_random_csr.n
+    assert np.array_equal(back.col_idx, small_random_csr.col_idx)
+    assert np.array_equal(back.row_ptr, small_random_csr.row_ptr)
+
+
+def test_convert_mtx_to_npz_script(tmp_path, small_random_csr):
+    import runpy
+    import sys
+
+    from sddmm_tpu.data import io
+
+    mtx = tmp_path / "m.mtx"
+    io.save_mtx(mtx, small_random_csr)
+    argv = sys.argv
+    sys.argv = ["convert_mtx_to_npz.py", str(mtx), "-o",
+                str(tmp_path / "npz")]
+    try:
+        with pytest.raises(SystemExit):
+            runpy.run_path("scripts/convert_mtx_to_npz.py",
+                           run_name="__main__")
+    finally:
+        sys.argv = argv
+    back = io.load_npz_graph(tmp_path / "npz" / "m.npz")
+    assert back.nnz == small_random_csr.nnz

@@ -214,3 +214,31 @@ def test_quad_family_used_and_correct():
     want = sddmm_reference(a, b, csr)
     res = check_values(want, got)
     assert res.passed, str(res)
+
+
+def test_pack_rejects_non_divisor_group_size():
+    csr = _matrix(seed=5)
+    rank = _rank(csr)
+    bsmr = BSMR(0.3, 0.3, csr, group_size=3, col_rank=rank)
+    with pytest.raises(ValueError, match="group_size"):
+        pack(csr, bsmr)
+
+
+def test_batched_hybrid_grouped_layout():
+    from sddmm_tpu.ops.batch import BatchedHybridSDDMM
+
+    csr = _matrix(seed=6)
+    rank = _rank(csr)
+    bsmr = BSMR(0.3, 0.3, csr, group_size=4, col_rank=rank)
+    packed = pack(csr, bsmr)
+    runner = HybridSDDMM(packed, compute_dtype="float32",
+                         default_order="csr", k_chunks=2)
+    batched = BatchedHybridSDDMM(runner)
+    rng = np.random.default_rng(7)
+    a = rng.random((3, csr.m, 32), dtype=np.float32)
+    b = rng.random((3, 32, csr.n), dtype=np.float32)
+    got = batched(a, b)
+    assert got.shape == (3, csr.nnz)
+    for i in range(3):
+        res = check_values(sddmm_reference(a[i], b[i], csr), got[i])
+        assert res.passed, str(res)
