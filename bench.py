@@ -52,7 +52,7 @@ def main():
     parser.add_argument("--k", type=int, default=128)
     parser.add_argument("--iterations", type=int, default=30)
     parser.add_argument("--compute-dtype", default="tf32",
-                        choices=["float32", "tf32", "bfloat16"])
+                        choices=["float32", "tf32", "mixed", "float16", "bfloat16"])
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -115,7 +115,7 @@ def main():
         # Speed-of-light: minimum HBM bytes any tile approach must move
         # (gathered B lanes + A rows + packed output, one stream pass
         # each) at the measured stream bandwidth.
-        el = 2 if args.compute_dtype == "bfloat16" else 4
+        el = 2 if args.compute_dtype in ("bfloat16", "float16", "mixed") else 4
         lanes = (packed.num_super + packed.num_quads + packed.num_pairs
                  + packed.num_groups) * 128
         a_rows = (packed.num_super * 128 + packed.num_quads * 64

@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Component-level time breakdown of the hybrid SDDMM on the real device.
+
+Times each constituent of the hybrid program in isolation (B gathers, A
+gathers, batched MXU dots on pre-gathered operands, residual path, full
+dense path, full hybrid) with the loop-differencing methodology
+(docs/performance.md), so perf work targets the measured bottleneck
+instead of the modeled one.
+
+Usage:
+    python scripts/probe_breakdown.py --matrix powerlaw --k 128
+    python scripts/probe_breakdown.py --matrix clustered16 --k 32 --g 4
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--matrix", default="powerlaw")
+    p.add_argument("--k", type=int, default=128)
+    p.add_argument("--compute-dtype", default="tf32")
+    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--g", type=int, default=None, help="override G")
+    p.add_argument("--c", type=int, default=None, help="override k_chunks")
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--delta", type=float, default=None)
+    p.add_argument("--file", default=None, help="matrix file instead of "
+                   "a bench-suite name")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from sddmm_tpu.data import generate, io
+    from sddmm_tpu.ops.hybrid import (GROUP_LANES, HybridSDDMM, _PRECISION,
+                                      _storage_dtype)
+    from sddmm_tpu.reorder.autotune import autotune
+    from sddmm_tpu.utils.timing import gflops, measure_loop_ms
+
+    if args.file:
+        csr = io.load(args.file)
+    else:
+        csr = bench.suite(False)[args.matrix]()
+    tuned = autotune(
+        csr, k=args.k, compute_dtype=args.compute_dtype, measure=False,
+        alphas=(args.alpha,) if args.alpha is not None else (0.3,),
+        deltas=(args.delta,) if args.delta is not None else (0.0, 0.05, 0.3))
+    g = args.g if args.g is not None else tuned.group_size
+    c = args.c if args.c is not None else tuned.k_chunks
+    if g != tuned.group_size:
+        # re-derive the packing at the requested G
+        from sddmm_tpu.reorder.bsmr import BSMR
+        from sddmm_tpu.reorder.cols import cluster_columns
+        from sddmm_tpu.reorder.pack import pack
+        rank = None
+        if g > 1:
+            order = cluster_columns(csr, tuned.alpha)
+            rank = np.empty(csr.n, dtype=np.int64)
+            rank[order] = np.arange(csr.n)
+        bsmr = BSMR(tuned.alpha, tuned.delta, csr, group_size=g,
+                    col_rank=rank)
+        packed = pack(csr, bsmr, k_hint=args.k,
+                      compute_dtype=args.compute_dtype)
+    else:
+        packed = tuned.packed
+
+    runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
+                         k_chunks=c)
+    a = generate.make_dense(csr.m, args.k, seed=1)
+    b = generate.make_dense(args.k, csr.n, seed=2)
+    a_pad, bt_phys = runner.prepare_operands(a, b=b)
+    kc = args.k // bt_phys.shape[0]
+    C = bt_phys.shape[0]
+    LG = GROUP_LANES // packed.group_size
+    cdtype = _storage_dtype(args.compute_dtype)
+    precision = _PRECISION[args.compute_dtype]
+
+    print(f"matrix={args.matrix} m={csr.m} n={csr.n} nnz={csr.nnz} "
+          f"k={args.k} cfg=(a={tuned.alpha} d={tuned.delta} G="
+          f"{packed.group_size} C={c} merge={tuned.merge_superpanels})")
+    print(f"tiles: nS={packed.num_super} nQ={packed.num_quads} "
+          f"nP={packed.num_pairs} nG={packed.num_groups} "
+          f"res={packed.nnz_res} packed={packed.packed_size}")
+
+    segs = []  # (rows_arr, gids_arr, b, start, n_runs)
+    for rows_arr, gids_arr, buckets in (
+            (runner._super_rows, runner._super_gids, packed.super_buckets),
+            (runner._quad_rows, runner._quad_gids, packed.quad_buckets),
+            (runner._pair_rows, runner._pair_gids, packed.pair_buckets),
+            (runner._group_rows, runner._group_gids, packed.group_buckets)):
+        for (bk, start, n_runs) in buckets:
+            segs.append((rows_arr, gids_arr, bk, start, n_runs))
+
+    def live_mask(cr, ix):
+        return jnp.where(cr > jnp.float32(-1e30), ix, jnp.zeros_like(ix))
+
+    # --- component bodies (body(carry, *args) for measure_loop_ms) ---
+    def body_b_gather(cr, a_pad, bt_phys):
+        tot = jnp.float32(0)
+        for rows_arr, gids_arr, bk, start, n_runs in segs:
+            gids = jax.lax.slice_in_dim(live_mask(cr, gids_arr), start,
+                                        start + n_runs * bk, axis=0)
+            gids = gids.reshape(n_runs, bk * LG)
+            for cc in range(C):
+                bg = jnp.take(bt_phys[cc], gids, axis=0)
+                tot = tot + jnp.sum(bg.astype(jnp.float32))
+        return tot
+
+    def body_a_gather(cr, a_pad, bt_phys):
+        tot = jnp.float32(0)
+        for rows_arr, gids_arr, bk, start, n_runs in segs:
+            run_rows = jax.lax.slice_in_dim(live_mask(cr, rows_arr), start,
+                                            start + n_runs * bk, stride=bk,
+                                            axis=0)
+            a_run = jnp.take(a_pad, run_rows, axis=0)
+            tot = tot + jnp.sum(a_run.astype(jnp.float32))
+        return tot
+
+    # dots with pre-gathered operands
+    pre = []
+    for rows_arr, gids_arr, bk, start, n_runs in segs:
+        run_rows = jax.lax.slice_in_dim(rows_arr, start,
+                                        start + n_runs * bk, stride=bk,
+                                        axis=0)
+        gids = jax.lax.slice_in_dim(gids_arr, start, start + n_runs * bk,
+                                    axis=0).reshape(n_runs, bk * LG)
+        a_run = jnp.take(a_pad, run_rows, axis=0).astype(cdtype)
+        bgs = []
+        for cc in range(C):
+            bg = jnp.take(bt_phys[cc], gids, axis=0)
+            bg = bg.reshape(n_runs, bk * LG, packed.group_size, kc)
+            bgs.append(bg.reshape(n_runs, bk * GROUP_LANES, kc)
+                       .astype(cdtype))
+        pre.append((a_run, bgs))
+    pre_flat = []
+    for a_run, bgs in pre:
+        pre_flat.append(a_run)
+        pre_flat.extend(bgs)
+
+    def body_dots(cr, *ops):
+        tot = jnp.float32(0)
+        i = 0
+        for rows_arr, gids_arr, bk, start, n_runs in segs:
+            a_run = live_mask(cr, ops[i]); i += 1
+            for cc in range(C):
+                bg = ops[i]; i += 1
+                a_c = jax.lax.slice_in_dim(a_run, cc * kc, (cc + 1) * kc,
+                                           axis=2)
+                acc = jax.lax.dot_general(
+                    a_c, bg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=precision)
+                tot = tot + jnp.sum(acc)
+        return tot
+
+    def body_dense(cr, a_pad, bt_phys):
+        tot = jnp.float32(0)
+        for rows_arr, gids_arr, bk, start, n_runs in segs:
+            run_rows = jax.lax.slice_in_dim(live_mask(cr, rows_arr), start,
+                                            start + n_runs * bk, stride=bk,
+                                            axis=0)
+            gids = jax.lax.slice_in_dim(gids_arr, start,
+                                        start + n_runs * bk, axis=0)
+            gids = gids.reshape(n_runs, bk * LG)
+            a_run = jnp.take(a_pad, run_rows, axis=0).astype(cdtype)
+            for cc in range(C):
+                bg = jnp.take(bt_phys[cc], gids, axis=0)
+                bg = bg.reshape(n_runs, bk * LG, packed.group_size, kc)
+                bg = bg.reshape(n_runs, bk * GROUP_LANES, kc).astype(cdtype)
+                a_c = jax.lax.slice_in_dim(a_run, cc * kc, (cc + 1) * kc,
+                                           axis=2)
+                acc = jax.lax.dot_general(
+                    a_c, bg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=precision)
+                tot = tot + jnp.sum(acc)
+        return tot
+
+    def body_residual(cr, a_pad, bt_phys):
+        res_rows = live_mask(cr, runner._res_rows)
+        res_gids = live_mask(cr, runner._res_gids)
+        nR = res_rows.shape[0]
+        a_res = jnp.take(a_pad, res_rows, axis=0)
+        res = jnp.zeros((nR,), jnp.float32)
+        for cc in range(C):
+            br = jnp.take(bt_phys[cc], res_gids, axis=0).reshape(
+                nR, packed.group_size, kc)
+            br = jnp.take_along_axis(
+                br, runner._res_member[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0, :]
+            a_r = jax.lax.slice_in_dim(a_res, cc * kc, (cc + 1) * kc, axis=1)
+            res = res + jnp.sum(a_r.astype(jnp.float32)
+                                * br.astype(jnp.float32), axis=-1)
+        return res
+
+    def body_res_a_gather(cr, a_pad, bt_phys):
+        return jnp.take(a_pad, live_mask(cr, runner._res_rows), axis=0)
+
+    def body_res_b_gather(cr, a_pad, bt_phys):
+        res_gids = live_mask(cr, runner._res_gids)
+        tot = jnp.float32(0)
+        for cc in range(C):
+            tot = tot + jnp.sum(jnp.take(bt_phys[cc], res_gids,
+                                         axis=0).astype(jnp.float32))
+        return tot
+
+    it = args.iterations
+    full_ms = runner.measure_kernel_ms(a_pad, bt_phys, iterations=it,
+                                       repeats=5)
+    rows = [("full_hybrid", full_ms)]
+    for name, body in (("dense_path", body_dense),
+                       ("b_gather", body_b_gather),
+                       ("a_gather", body_a_gather),
+                       ("dots_pregathered", body_dots),
+                       ("residual_path", body_residual),
+                       ("res_a_gather", body_res_a_gather),
+                       ("res_b_gather", body_res_b_gather)):
+        if name == "dots_pregathered":
+            ms = measure_loop_ms(body, tuple(pre_flat), iterations=it,
+                                 repeats=4)
+        else:
+            ms = measure_loop_ms(body, (a_pad, bt_phys), iterations=it,
+                                 repeats=4)
+        rows.append((name, ms))
+    for name, ms in rows:
+        print(f"  {name:18s} {ms:8.3f} ms   "
+              f"({gflops(csr.nnz, args.k, ms):7.1f} GFLOPS-equiv)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,10 +4,12 @@
 On real multi-chip hardware this measures nnz/s at 1..N chips (the
 north-star metric: >=80% scaling efficiency).  On a single-chip or
 CPU-only environment it still *validates* the sharded path end-to-end on
-a virtual device mesh (--virtual N): per-device tile balance, collective
-correctness vs the single-device result, and compiled HLO collective
-counts — wall-clock numbers on a virtual mesh are NOT performance (all
-"devices" share one physical core) and are labeled as such.
+a virtual device mesh (--virtual N): numerical agreement with the
+single-device result, per-device tile balance, and a compiled-HLO
+collective audit (asserting the flat value vector is never
+all-gathered in the step) — wall-clock numbers on a virtual mesh are
+NOT performance (all "devices" share one physical core) and are
+labeled as such.
 
 Usage:
     python scripts/scaling_bench.py --virtual 8            # CPU validation
@@ -68,26 +70,43 @@ def main(argv=None):
     ref_runner = HybridSDDMM(packed, compute_dtype="float32")
     ref_vals = np.asarray(ref_runner(a, b, order="csr"))
 
+    from sddmm_tpu.parallel.dist import count_collectives
+
     results = []
     for c in counts:
-        mesh = make_mesh((c, 1), ("rows", "feat"),
+        feat = 2 if c >= 4 and c % 2 == 0 else 1
+        mesh = make_mesh((c // feat, feat), ("rows", "feat"),
                          devices=jax.devices()[:c])
         dist = DistributedHybridSDDMM(packed, mesh,
                                       compute_dtype="float32")
         a_pad, bt_pad = dist.prepare_operands(a, b=b)
-        vals = np.asarray(dist.run_padded(a_pad, bt_pad))
+        vals = np.asarray(dist.run_padded(a_pad, bt_pad, order="csr"))
         err = float(np.max(np.abs(vals - ref_vals))
                     / (np.abs(ref_vals).max() + 1e-12))
+        # Compiled-HLO collective audit of the packed-order step: the
+        # flat value vector must stay sharded (no all-gather); the only
+        # hot-path collective is the psum over 'feat' (an all-reduce,
+        # absent when feat == 1 and XLA elides the trivial psum).
+        coll = count_collectives(dist.compiled_hlo(a_pad, bt_pad))
+        assert coll["all-gather"] == 0, (
+            f"devices={c}: unexpected all-gather in the sharded step "
+            f"({coll})")
+        balance = dist.tile_balance()
+        bal_ratio = float(balance.max() / max(balance.mean(), 1.0))
         t0 = time.perf_counter()
         for _ in range(args.iterations):
-            out = dist.run_padded(a_pad, bt_pad)
-        float(np.asarray(out[0]))
+            out = dist.run_padded(a_pad, bt_pad, order="packed")
+        float(np.asarray(out).ravel()[0])
         dt = (time.perf_counter() - t0) / args.iterations
         nnz_s = csr.nnz / dt
-        results.append({"devices": c, "max_rel_err": err,
-                        "nnz_per_s": round(nnz_s / 1e6, 1)})
+        results.append({"devices": c, "mesh": [c // feat, feat],
+                        "max_rel_err": err,
+                        "nnz_per_s": round(nnz_s / 1e6, 1),
+                        "collectives": coll,
+                        "tile_balance_max_over_mean": round(bal_ratio, 3)})
         print(f"devices={c}: max_rel_err={err:.2e} "
-              f"nnz/s={nnz_s/1e6:.1f}M"
+              f"nnz/s={nnz_s/1e6:.1f}M collectives={coll} "
+              f"balance={bal_ratio:.2f}"
               + ("  [virtual mesh: not a performance number]"
                  if virtual else ""))
 

@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--iterations", type=int,
                    default=config.DEFAULT_NUM_ITERATIONS)
     p.add_argument("--compute-dtype", default="float32",
-                   choices=["float32", "tf32", "bfloat16"])
+                   choices=["float32", "tf32", "mixed", "float16", "bfloat16"])
     p.add_argument("--method", default="auto",
                    choices=["auto", "greedy", "batched", "none"],
                    help="row clustering algorithm")

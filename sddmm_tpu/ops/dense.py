@@ -26,10 +26,15 @@ def _dense_masked_jit(a, b, rows, cols, compute_dtype="tf32"):
     """2-D (row, col) gather of the full product — no flattened index, so
     m*n >= 2**31 cannot overflow int32 (JAX silently downcasts int64
     arrays unless x64 is enabled)."""
-    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    full = jnp.dot(a.astype(dt), b.astype(dt),
-                   preferred_element_type=jnp.float32,
-                   precision=_PRECISION[compute_dtype])
+    from sddmm_tpu.ops.hybrid import _dot3, _storage_dtype
+    dt = _storage_dtype(compute_dtype)
+    if compute_dtype == "float16":
+        full = _dot3(a.astype(dt), b.astype(dt),
+                     dimension_numbers=(((1,), (0,)), ((), ())))
+    else:
+        full = jnp.dot(a.astype(dt), b.astype(dt),
+                       preferred_element_type=jnp.float32,
+                       precision=_PRECISION[compute_dtype])
     return full[rows, cols]
 
 

@@ -51,12 +51,59 @@ from sddmm_tpu.reorder.pack import GROUP_LANES, PackedMatrix, pack
 _PRECISION = {
     "float32": jax.lax.Precision.HIGHEST,
     "tf32": jax.lax.Precision.HIGH,
+    "mixed": jax.lax.Precision.HIGH,
+    "float16": jax.lax.Precision.DEFAULT,  # manual 3-pass, see _dot3
     "bfloat16": jax.lax.Precision.DEFAULT,
 }
 
+# (A storage, B^T storage) per mode.  "mixed" keeps A exact and stores
+# only the gather-dominant B^T operand in bfloat16 — halving the B
+# descriptor width and source footprint; the B rounding alone stays
+# inside the reference's abs 1e-5 / rel 1e-3 contract at K >= 64 on
+# U[0,2) data (bench validates per run before using it).
+_STORAGE = {"float32": (jnp.float32, jnp.float32),
+            "tf32": (jnp.float32, jnp.float32),
+            "mixed": (jnp.float32, jnp.bfloat16),
+            "float16": (jnp.float16, jnp.float16),
+            "bfloat16": (jnp.bfloat16, jnp.bfloat16)}
+
+
+def _storage_dtypes(compute_dtype: str):
+    return _STORAGE[compute_dtype]
+
 
 def _storage_dtype(compute_dtype: str):
-    return jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    """B-side storage dtype (the gather-dominant operand)."""
+    return _STORAGE[compute_dtype][1]
+
+
+def _split_bf16(x):
+    """Split fp32/fp16 values into (hi, lo) bfloat16 so hi + lo carries
+    >= 16 mantissa bits — exact for fp16 inputs up to the dropped lo*lo
+    term (<= 2^-18 relative)."""
+    xf = x.astype(jnp.float32)
+    hi = xf.astype(jnp.bfloat16)
+    lo = (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_c, bg, dimension_numbers):
+    """3-pass bfloat16 emulation of a >= 16-mantissa-bit dot: the same
+    decomposition XLA's Precision.HIGH uses, but issued as three native
+    bf16 MXU dots.  XLA's HIGH lowering is pathologically slow at small
+    tile heights (16-row batched dots run at 11.5 M groups/s vs 185 M for
+    native bf16, docs/performance.md); the manual 3-pass recovers the
+    native rate while keeping tf32-class accuracy."""
+    ah, al = _split_bf16(a_c)
+    bh, bl = _split_bf16(bg)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 @functools.partial(jax.jit,
@@ -81,21 +128,44 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
     of containers with b 128-lane chunks each: A is gathered once per
     container and the batched dot runs at n = b*128 lanes.
     """
-    cdtype = _storage_dtype(compute_dtype)
+    adtype, bdtype = _storage_dtypes(compute_dtype)
     precision = _PRECISION[compute_dtype]
-    if cdtype != a_pad.dtype:
-        a_pad = a_pad.astype(cdtype)
-        bt_phys = bt_phys.astype(cdtype)
+    if adtype != a_pad.dtype:
+        a_pad = a_pad.astype(adtype)
+    if bdtype != bt_phys.dtype:
+        bt_phys = bt_phys.astype(bdtype)
     C = bt_phys.shape[0]
     LG = GROUP_LANES // g
+
+    dnums = (((2,), (2,)), ((0,), (0,)))
 
     def dot(a_c, bg):
         if pallas_dots and compute_dtype == "tf32":
             from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
             return tile_dot_padded(a_c, bg)
+        if compute_dtype == "float16":
+            return _dot3(a_c, bg, dnums)
+        if compute_dtype == "mixed":
+            # 2-pass: split fp32 A into bf16 hi/lo, keep gathered B in
+            # bf16 — same terms as upcast + Precision.HIGH (which would
+            # materialize an fp32 copy of the gathered B), one pass less.
+            # The barrier on the dot outputs stops XLA's algebraic
+            # simplifier from merging dot(ah,b)+dot(al,b) into
+            # dot(ah+al,b), whose bf16 add silently collapses the split
+            # back to single-bf16 precision (observed: identical error
+            # signature to the bfloat16 mode without the barrier).
+            ah, al = _split_bf16(a_c)
+
+            def d(x):
+                return jax.lax.dot_general(
+                    x, bg, dimension_numbers=dnums,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            h, l = jax.lax.optimization_barrier((d(ah), d(al)))
+            return h + l
         return jax.lax.dot_general(
-            a_c, bg,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            a_c, bg, dimension_numbers=dnums,
             preferred_element_type=jnp.float32,
             precision=precision)
 
@@ -126,16 +196,22 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                 acc = acc + dot(a_c, bg)
             segments.append(acc.reshape(-1))
 
-    # Residual: fetch the entry's column group, select member lane.
+    # Residual: fetch the entry's column group, select member lane via a
+    # one-hot contraction (take_along_axis lowers to a per-element gather
+    # on TPU — measured ~0.6 us/entry; the one-hot multiply is vector-unit
+    # work at stream bandwidth).
     nR = res_rows.shape[0]
     a_res = jnp.take(a_pad, res_rows, axis=0)       # (nR, K)
     res = jnp.zeros((nR,), jnp.float32)
+    if g > 1:
+        onehot = (res_member[:, None]
+                  == jnp.arange(g, dtype=jnp.int32)[None, :])
     for c in range(C):
         bt_c = bt_phys[c]
-        br = jnp.take(bt_c, res_gids, axis=0).reshape(nR, g, kc)
-        br = jnp.take_along_axis(
-            br, res_member[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
+        br = jnp.take(bt_c, res_gids, axis=0)
+        if g > 1:
+            br = br.reshape(nR, g, kc).astype(jnp.float32)
+            br = jnp.sum(br * onehot[:, :, None], axis=1)
         a_r = jax.lax.slice_in_dim(a_res, c * kc, (c + 1) * kc, axis=1)
         res = res + jnp.sum(
             a_r.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
@@ -279,7 +355,9 @@ class HybridSDDMM:
 
     def prepare_operands(self, a, b=None, bt=None):
         """Pad A (M,K)->(M+1,K); build the grouped/chunked B^T layout
-        (C, NG+1, G*Kc) — both as device arrays."""
+        (C, NG+1, G*Kc) — both as device arrays in the runner's storage
+        dtype (fp16/bf16 modes halve the gather payload; the cast happens
+        once here instead of on every call)."""
         a = np.asarray(a)
         if bt is None:
             bt = np.ascontiguousarray(np.asarray(b).T)
@@ -288,12 +366,17 @@ class HybridSDDMM:
         a_pad = np.concatenate([a, np.zeros((1, a.shape[1]), a.dtype)])
         bt_pad = np.concatenate([bt, np.zeros((1, bt.shape[1]), bt.dtype)])
         bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
-        return jnp.asarray(a_pad), jnp.asarray(bt_phys)
+        adt, bdt = _storage_dtypes(self.compute_dtype)
+        return (jnp.asarray(a_pad).astype(adt),
+                jnp.asarray(bt_phys).astype(bdt))
 
     def device_prepare(self, a_pad: jax.Array,
                        bt_pad: jax.Array) -> tuple:
         """Device-side counterpart of prepare_operands for operands that
         already live on device as (M+1, K) / (N+1, K) padded arrays."""
+        adt, bdt = _storage_dtypes(self.compute_dtype)
+        a_pad = a_pad.astype(adt)
+        bt_pad = bt_pad.astype(bdt)
         if self.is_identity_layout:
             return a_pad, bt_pad[None]
         if self._col_order_dev is None:

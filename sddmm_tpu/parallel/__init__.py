@@ -1,4 +1,4 @@
 from sddmm_tpu.parallel.mesh import make_mesh
-from sddmm_tpu.parallel.dist import DistributedHybridSDDMM, shard_packed
+from sddmm_tpu.parallel.dist import DistributedHybridSDDMM
 
-__all__ = ["make_mesh", "DistributedHybridSDDMM", "shard_packed"]
+__all__ = ["make_mesh", "DistributedHybridSDDMM"]

@@ -1,209 +1,438 @@
-"""Multi-chip hybrid SDDMM via GSPMD sharding annotations.
+"""Multi-chip hybrid SDDMM: the single-chip fast path sharded over a
+``('rows', 'feat')`` mesh with ``shard_map``.
 
-New capability vs the reference (single-GPU, SURVEY.md §2.3).  Strategy —
-the TPU-idiomatic recipe: pick a mesh, annotate shardings, let XLA insert
-the collectives over ICI:
+This is new capability vs the reference (single-GPU, SURVEY.md §2.3),
+and it shards the *same* bucketed run-major packed layout the single-chip
+kernel executes (reorder/pack.py) — not a second implementation:
 
-- dense blocks, residual nnz, and the inverse-permutation index are
-  padded to the mesh's 'rows' axis size and sharded along it — this is
-  row-panel/block data-parallelism over S;
-- A and B^T are sharded along the feature axis K on the mesh's 'feat'
-  axis (tensor parallelism of the contraction dim: each device holds a
-  K-slice, XLA reduces partial dot products with a psum);
-- the final CSR-order gather runs on the sharded flat value vector; XLA
-  inserts the all-gather where needed.
+- **'rows' axis (data parallel over S)**: containers (packed tile runs)
+  are partitioned by their 8-panel window, contiguous windows per device,
+  balanced by packed-cell weight.  Each device holds only its panels'
+  rows of A (gathered panel-local copy, sentinel-padded) and its own
+  residual entries — per-device A/index/output memory scales ~1/R.
+- **'feat' axis (tensor parallel over K)**: A and the grouped B^T layout
+  are split into K-chunks (the same ``k_chunks`` machinery as single
+  chip); each feat-device computes partial dot products over its chunks
+  and one ``psum`` over 'feat' — the only collective in the hot path —
+  reduces them.  ICI carries exactly the packed output once.
+- The output **stays sharded** in packed order ``(R, F_loc)``; CSR entry
+  order is an explicit opt-in conversion (``order="csr"``), exactly like
+  the single-chip API.  Nothing all-gathers the flat value vector inside
+  the step (verified by the HLO collective check in
+  scripts/scaling_bench.py).
 
-Padding uses the sentinel rows of A/B^T, so padded blocks/nnz compute
-zeros and are dropped by the inverse gather (their slots are never read).
+Padding uses sentinel rows/groups, so padded runs and residual slots
+compute zeros and are dropped by the CSR conversion.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sddmm_tpu import config
-from sddmm_tpu.reorder.pack import PackedMatrix
-from sddmm_tpu.ops.hybrid import _PRECISION, _storage_dtype
+from sddmm_tpu.ops.hybrid import (_hybrid_packed_jit, _storage_dtypes,
+                                  build_bt_phys)
+from sddmm_tpu.reorder.pack import GROUP_LANES, PackedMatrix
+
+_FAMS = (  # (name, rows per tile)
+    ("super", 128), ("quad", 64), ("pair", 32), ("group", 16))
 
 
-def _pad_to(x: np.ndarray, multiple: int, fill) -> np.ndarray:
-    pad = (-x.shape[0]) % multiple
-    if not pad:
-        return x
-    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-    return np.pad(x, widths, constant_values=fill)
+class _ShardPlan:
+    """Host-side partition of a PackedMatrix over R row-devices."""
 
+    def __init__(self, packed: PackedMatrix, n_rows_devices: int):
+        R = int(n_rows_devices)
+        m = packed.m
+        num_panels = packed.num_panels
+        num_windows = max((num_panels + 7) // 8, 1)
+        nC = len(packed.cont_panel_off) - 1
 
-from sddmm_tpu.reorder.pack import (GROUP_CELLS, PAIR_CELLS, QUAD_CELLS,
-                                    SUPER_CELLS)
+        # window of each container (containers never span windows)
+        win_of_cont = np.zeros(max(nC, 1), dtype=np.int64)
+        if nC:
+            win_of_cont[:nC] = (
+                packed.cont_panel_ids[packed.cont_panel_off[:-1]] // 8)
 
+        # panel of each original row (sentinel row m -> -1)
+        panel_of_row = np.full(m + 1, -1, dtype=np.int64)
+        ar = packed.a_row_gather.astype(np.int64)
+        real = ar < m
+        panel_of_row[ar[real]] = np.nonzero(real)[0] // 16
 
-@dataclasses.dataclass
-class ShardedPack:
-    """Device-ready padded/sharded index arrays."""
-    super_rows: jax.Array     # ('rows', None) sharded over supertiles
-    super_cols: jax.Array     # ('rows', None)
-    quad_rows: jax.Array      # ('rows', None) sharded over quad tiles
-    quad_cols: jax.Array      # ('rows', None)
-    pair_rows: jax.Array      # ('rows', None) sharded over pair tiles
-    pair_cols: jax.Array      # ('rows', None)
-    group_rows: jax.Array     # ('rows', None) sharded over groups
-    group_cols: jax.Array     # ('rows', None)
-    res_rows: jax.Array       # ('rows',)
-    res_cols: jax.Array       # ('rows',)
-    inv_idx: jax.Array        # ('rows',) positions into the *padded* flat
-    num_super_padded: int
-    num_quads_padded: int
-    num_pairs_padded: int
-    num_groups_padded: int
-    num_res_padded: int
+        # per-run records: (fam_idx, b, tile_start, cont_id)
+        runs = {f: [] for f, _ in _FAMS}
+        for fi, (fname, rows_h) in enumerate(_FAMS):
+            buckets = getattr(packed, f"{fname}_buckets")
+            run_cont = getattr(packed, f"{fname}_run_cont")
+            ri = 0
+            for (b, start, n) in buckets:
+                for j in range(n):
+                    runs[fname].append((b, start + j * b,
+                                        int(run_cont[ri])))
+                    ri += 1
 
+        # window weights: packed cells of each run + residual entries
+        w = np.zeros(num_windows, dtype=np.float64)
+        for fname, rows_h in _FAMS:
+            for (b, t0, cid) in runs[fname]:
+                w[win_of_cont[cid]] += rows_h * b * GROUP_LANES
+        res_panel = panel_of_row[packed.res_rows.astype(np.int64)]
+        res_win = np.where(res_panel >= 0, res_panel // 8, 0)
+        np.add.at(w, res_win, 64.0)  # nominal residual weight
 
-def shard_packed(packed: PackedMatrix, mesh: Mesh) -> ShardedPack:
-    n_rows = mesh.shape["rows"]
+        # contiguous window partition into R parts (balanced prefix cut)
+        cum = np.cumsum(w)
+        total = cum[-1] if len(cum) else 0.0
+        bounds = [0]
+        for d in range(1, R):
+            target = total * d / R
+            bounds.append(int(np.searchsorted(cum, target)))
+        bounds.append(num_windows)
+        # enforce monotone non-decreasing
+        for i in range(1, len(bounds)):
+            bounds[i] = max(bounds[i], bounds[i - 1])
+        self.window_bounds = bounds
+        dev_of_win = np.zeros(num_windows, dtype=np.int64)
+        for d in range(R):
+            dev_of_win[bounds[d]:bounds[d + 1]] = d
 
-    super_rows = _pad_to(packed.super_rows.astype(np.int32), n_rows,
-                         packed.m)
-    super_cols = _pad_to(packed.super_cols.astype(np.int32), n_rows,
-                         packed.n)
-    quad_rows = _pad_to(packed.quad_rows.astype(np.int32), n_rows,
-                        packed.m)
-    quad_cols = _pad_to(packed.quad_cols.astype(np.int32), n_rows,
-                        packed.n)
-    pair_rows = _pad_to(packed.pair_rows.astype(np.int32), n_rows,
-                        packed.m)
-    pair_cols = _pad_to(packed.pair_cols.astype(np.int32), n_rows,
-                        packed.n)
-    group_rows = _pad_to(packed.group_rows.astype(np.int32), n_rows,
-                         packed.m)
-    group_cols = _pad_to(packed.group_cols.astype(np.int32), n_rows,
-                         packed.n)
-    res_rows = _pad_to(packed.res_rows.astype(np.int32), n_rows, packed.m)
-    res_cols = _pad_to(packed.res_cols.astype(np.int32), n_rows, packed.n)
+        # panels / local A rows per device
+        self.R = R
+        panel_dev = dev_of_win[np.arange(num_panels) // 8] \
+            if num_panels else np.zeros(0, dtype=np.int64)
+        counts = np.bincount(panel_dev, minlength=R) if num_panels \
+            else np.zeros(R, dtype=np.int64)
+        self.rows_max = int(counts.max()) * 16 if num_panels else 16
+        a_rows_local = np.full((R, self.rows_max), m, dtype=np.int64)
+        # local slot of each original row (sentinel -> rows_max)
+        local_of_row = np.full(m + 1, self.rows_max, dtype=np.int64)
+        p0 = np.zeros(R, dtype=np.int64)
+        for p in range(num_panels):
+            d = panel_dev[p]
+            s = p0[d]
+            rows = ar[p * 16:(p + 1) * 16]
+            a_rows_local[d, s:s + len(rows)] = rows
+            rr = rows[rows < m]
+            local_of_row[rr] = s + np.nonzero(rows < m)[0]
+            p0[d] += 16
+        self.a_rows_local = a_rows_local  # (R, rows_max) original ids
+        self.panel_dev = panel_dev
 
-    ns_pad = super_rows.shape[0]
-    nq_pad = quad_rows.shape[0]
-    np_pad = pair_rows.shape[0]
-    ng_pad = group_rows.shape[0]
-    nr_pad = res_rows.shape[0]
-    # Build the inverse index for the *tile-major* padded flat layout
-    # [ns_pad supertiles][np_pad pairs][ng_pad group tiles][nr_pad res]
-    # from the tile-major csr arrays (the single-chip path uses the
-    # run-major bucketed layout instead; see reorder/pack.py).
-    inv = np.full(packed.nnz, -1, dtype=np.int64)
-    base = 0
-    for csr_arr, n_tiles_pad, cells in (
-            (packed.super_csr, ns_pad, SUPER_CELLS),
-            (packed.quad_csr, nq_pad, QUAD_CELLS),
-            (packed.pair_csr, np_pad, PAIR_CELLS),
-            (packed.group_csr, ng_pad, GROUP_CELLS)):
-        if len(csr_arr):
-            flat = csr_arr.reshape(len(csr_arr), -1)
-            t, pos = np.nonzero(flat >= 0)
-            inv[flat[t, pos]] = base + t * cells + pos
-        base += n_tiles_pad * cells
-    inv[packed.res_csr] = base + np.arange(len(packed.res_csr))
-    assert np.all(inv >= 0), "distributed inverse index incomplete"
-    inv = _pad_to(inv, n_rows, 0)
+        # per-family local tile arrays, uniform bucket structure
+        NG = packed.num_col_groups
+        G = packed.group_size
+        LG = GROUP_LANES // G
+        self.local_buckets = {}
+        self.tile_rows = {}
+        self.tile_gids = {}
+        flat_off = 0
+        dest_parts = []  # (R, cells) per segment
+        for fname, rows_h in _FAMS:
+            fruns = runs[fname]
+            rows_arr = getattr(packed, f"{fname}_rows").astype(np.int64)
+            gids_arr = getattr(packed, f"{fname}_gids").astype(np.int64)
+            csr_arr = getattr(packed, f"{fname}_csr")
+            # group runs per (bucket size) preserving order
+            bsizes = []
+            for (b, t0, cid) in fruns:
+                if not bsizes or bsizes[-1] != b:
+                    bsizes.append(b)
+            # bucket sizes are sorted ascending and unique by construction
+            dev_runs = {b: [[] for _ in range(R)] for b in bsizes}
+            for (b, t0, cid) in fruns:
+                dev_runs[b][dev_of_win[win_of_cont[cid]]].append(t0)
+            lb = []
+            t_rows_l, t_gids_l = [], []
+            start_local = 0
+            for b in bsizes:
+                n_max = max(len(x) for x in dev_runs[b])
+                if n_max == 0:
+                    continue
+                lb.append((b, start_local, n_max))
+                seg_rows = np.full((R, n_max * b, rows_h), self.rows_max,
+                                   dtype=np.int64)
+                seg_gids = np.full((R, n_max * b, LG), NG, dtype=np.int64)
+                seg_dest = np.full((R, n_max * rows_h * b * GROUP_LANES),
+                                   packed.nnz, dtype=np.int64)
+                for d in range(R):
+                    for j, t0 in enumerate(dev_runs[b][d]):
+                        tiles = slice(t0, t0 + b)
+                        rloc = local_of_row[rows_arr[t0]]
+                        # all b tiles of a run share the same rows
+                        seg_rows[d, j * b:(j + 1) * b] = rloc[None, :]
+                        seg_gids[d, j * b:(j + 1) * b] = gids_arr[tiles]
+                        # run-major cells: (rows_h, b, 128)
+                        cells = csr_arr[tiles].transpose(1, 0, 2)
+                        cells = np.where(cells >= 0, cells, packed.nnz)
+                        seg_dest[d, j * rows_h * b * GROUP_LANES:
+                                 (j + 1) * rows_h * b * GROUP_LANES] = \
+                            cells.reshape(-1)
+                t_rows_l.append(seg_rows)
+                t_gids_l.append(seg_gids)
+                dest_parts.append(seg_dest)
+                start_local += n_max * b
+            self.local_buckets[fname] = tuple(lb)
+            if t_rows_l:
+                self.tile_rows[fname] = np.concatenate(t_rows_l, axis=1)
+                self.tile_gids[fname] = np.concatenate(t_gids_l, axis=1)
+            else:
+                self.tile_rows[fname] = np.full((R, 0, rows_h),
+                                                self.rows_max,
+                                                dtype=np.int64)
+                self.tile_gids[fname] = np.full((R, 0, LG), NG,
+                                                dtype=np.int64)
 
-    shard1 = NamedSharding(mesh, P("rows"))
-    shard2 = NamedSharding(mesh, P("rows", None))
-    return ShardedPack(
-        super_rows=jax.device_put(jnp.asarray(super_rows), shard2),
-        super_cols=jax.device_put(jnp.asarray(super_cols), shard2),
-        quad_rows=jax.device_put(jnp.asarray(quad_rows), shard2),
-        quad_cols=jax.device_put(jnp.asarray(quad_cols), shard2),
-        pair_rows=jax.device_put(jnp.asarray(pair_rows), shard2),
-        pair_cols=jax.device_put(jnp.asarray(pair_cols), shard2),
-        group_rows=jax.device_put(jnp.asarray(group_rows), shard2),
-        group_cols=jax.device_put(jnp.asarray(group_cols), shard2),
-        res_rows=jax.device_put(jnp.asarray(res_rows), shard1),
-        res_cols=jax.device_put(jnp.asarray(res_cols), shard1),
-        inv_idx=jax.device_put(jnp.asarray(inv), shard1),
-        num_super_padded=ns_pad,
-        num_quads_padded=nq_pad,
-        num_pairs_padded=np_pad,
-        num_groups_padded=ng_pad,
-        num_res_padded=nr_pad,
-    )
+        # residual per device (local row ids)
+        res_dev = np.where(res_panel >= 0, dev_of_win[res_win], 0)
+        nR_max = max(int(np.bincount(res_dev, minlength=R).max())
+                     if len(res_dev) else 0, 1)
+        self.res_rows = np.full((R, nR_max), self.rows_max, dtype=np.int64)
+        self.res_gids = np.full((R, nR_max), NG, dtype=np.int64)
+        self.res_member = np.zeros((R, nR_max), dtype=np.int64)
+        res_dest = np.full((R, nR_max), packed.nnz, dtype=np.int64)
+        fill = np.zeros(R, dtype=np.int64)
+        rr = packed.res_rows.astype(np.int64)
+        rg = packed.res_gids.astype(np.int64)
+        rm = packed.res_member.astype(np.int64)
+        rc = packed.res_csr.astype(np.int64)
+        for i in range(len(rr)):
+            d = res_dev[i]
+            j = fill[d]
+            self.res_rows[d, j] = local_of_row[rr[i]]
+            self.res_gids[d, j] = rg[i]
+            self.res_member[d, j] = rm[i]
+            res_dest[d, j] = rc[i]
+            fill[d] += 1
+        dest_parts.append(res_dest)
 
-
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _dist_hybrid_jit(a_pad, bt_pad, super_rows, super_cols, quad_rows,
-                     quad_cols, pair_rows, pair_cols, group_rows,
-                     group_cols, res_rows, res_cols, inv_idx,
-                     compute_dtype="float32"):
-    cdtype = _storage_dtype(compute_dtype)
-    precision = _PRECISION[compute_dtype]
-    if cdtype != a_pad.dtype:
-        a_pad = a_pad.astype(cdtype)
-        bt_pad = bt_pad.astype(cdtype)
-
-    def tiles_of(rows, cols):
-        ag = jnp.take(a_pad, rows, axis=0)
-        bg = jnp.take(bt_pad, cols, axis=0)
-        return jax.lax.dot_general(
-            ag, bg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision)
-
-    s_tiles = tiles_of(super_rows, super_cols)
-    q_tiles = tiles_of(quad_rows, quad_cols)
-    p_tiles = tiles_of(pair_rows, pair_cols)
-    g_tiles = tiles_of(group_rows, group_cols)
-
-    ar = jnp.take(a_pad, res_rows, axis=0)
-    br = jnp.take(bt_pad, res_cols, axis=0)
-    res = jnp.sum(ar.astype(jnp.float32) * br.astype(jnp.float32), axis=-1)
-
-    flat = jnp.concatenate(
-        [s_tiles.reshape(-1), q_tiles.reshape(-1), p_tiles.reshape(-1),
-         g_tiles.reshape(-1), res])
-    return jnp.take(flat, inv_idx)
+        # per-device flat layout: [family segments ++ residual]
+        self.csr_dest = np.concatenate(dest_parts, axis=1)
+        self.flat_local = self.csr_dest.shape[1]
 
 
 class DistributedHybridSDDMM:
-    """Hybrid SDDMM sharded over a mesh; call with full (unsharded) host
-    operands or pre-placed device arrays."""
+    """Hybrid SDDMM sharded over a ('rows', 'feat') mesh.
+
+    Same packed layout, same kernel (``_hybrid_packed_jit``) as the
+    single-chip ``HybridSDDMM`` — run per row-device under ``shard_map``
+    with K-chunk tensor parallelism and one psum over 'feat'.
+
+    Output layouts: ``"packed"`` (default) = the sharded (R, flat_local)
+    value array; ``"csr"`` = CSR entry order of the input matrix (opt-in
+    global conversion: key-value sort over the gathered flat values).
+    """
 
     def __init__(self, packed: PackedMatrix, mesh: Mesh,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", k_chunks: int = 0,
+                 default_order: str = "csr"):
         self.packed = packed
         self.mesh = mesh
         self.compute_dtype = compute_dtype
-        self.sharded = shard_packed(packed, mesh)
-        # Operands: K on the 'feat' axis (row dim replicated so any device
-        # can gather any A row / B column it needs).
-        self._a_sharding = NamedSharding(mesh, P(None, "feat"))
-        self._bt_sharding = NamedSharding(mesh, P(None, "feat"))
+        self.default_order = default_order
+        R = mesh.shape["rows"]
+        self.F = mesh.shape.get("feat", 1)
+        self.k_chunks = int(k_chunks) if k_chunks else self.F
+        if self.k_chunks % self.F:
+            raise ValueError(
+                f"k_chunks={self.k_chunks} must be a multiple of the "
+                f"'feat' axis size {self.F}")
+        self.plan = plan = _ShardPlan(packed, R)
 
+        sh_rows2 = NamedSharding(mesh, P("rows", None))
+        sh_rows3 = NamedSharding(mesh, P("rows", None, None))
+        put2 = functools.partial(jax.device_put, device=sh_rows2)
+        put3 = functools.partial(jax.device_put, device=sh_rows3)
+        i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        self._tiles = {}
+        for fname, _ in _FAMS:
+            self._tiles[fname] = (put3(i32(plan.tile_rows[fname])),
+                                  put3(i32(plan.tile_gids[fname])))
+        self._res_rows = put2(i32(plan.res_rows))
+        self._res_gids = put2(i32(plan.res_gids))
+        self._res_member = put2(i32(plan.res_member))
+        self._csr_dest = put2(jnp.asarray(plan.csr_dest, dtype=jnp.int32))
+        self._a_sharding = NamedSharding(mesh, P("rows", None, "feat"))
+        self._bt_sharding = NamedSharding(mesh, P("feat", None, None))
+        self._out_sharding = NamedSharding(mesh, P("rows", None))
+
+    # -- operand preparation -------------------------------------------
     def prepare_operands(self, a, b=None, bt=None):
+        """Build the sharded operands: per-device panel-local A
+        (R, rows_max+1, K) and the K-chunked grouped B^T layout
+        (C, NG+1, G*kc)."""
+        adt, bdt = _storage_dtypes(self.compute_dtype)
         a = np.asarray(a)
         if bt is None:
             bt = np.ascontiguousarray(np.asarray(b).T)
         else:
             bt = np.asarray(bt)
-        a_pad = np.concatenate([a, np.zeros((1, a.shape[1]), a.dtype)])
-        bt_pad = np.concatenate([bt, np.zeros((1, bt.shape[1]), bt.dtype)])
-        return (jax.device_put(jnp.asarray(a_pad), self._a_sharding),
-                jax.device_put(jnp.asarray(bt_pad), self._bt_sharding))
+        k = a.shape[1]
+        if k % self.k_chunks:
+            raise ValueError(f"K={k} not divisible by C={self.k_chunks}")
+        a_pad = np.concatenate([a, np.zeros((1, k), a.dtype)])
+        # panel-local copies + per-device sentinel zero row
+        order = np.where(self.plan.a_rows_local < self.packed.m,
+                         self.plan.a_rows_local, self.packed.m)
+        a_sh = a_pad[order]                      # (R, rows_max, K)
+        a_sh = np.concatenate(
+            [a_sh, np.zeros((self.plan.R, 1, k), a.dtype)], axis=1)
+        bt_pad = np.concatenate([bt, np.zeros((1, k), bt.dtype)])
+        bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
+        return (jax.device_put(jnp.asarray(a_sh).astype(adt),
+                               self._a_sharding),
+                jax.device_put(jnp.asarray(bt_phys).astype(bdt),
+                               self._bt_sharding))
 
-    def run_padded(self, a_pad, bt_pad):
-        s = self.sharded
-        vals = _dist_hybrid_jit(
-            a_pad, bt_pad, s.super_rows, s.super_cols,
-            s.quad_rows, s.quad_cols,
-            s.pair_rows, s.pair_cols,
-            s.group_rows, s.group_cols,
-            s.res_rows, s.res_cols, s.inv_idx,
-            compute_dtype=self.compute_dtype)
-        return vals[:self.packed.nnz]
+    def device_prepare(self, a_pad, bt_pad):
+        """In-jit counterpart of prepare_operands for device-resident
+        global operands (M+1, K) / (N+1, K): builds the panel-local A
+        copies and the grouped/chunked B^T layout with sharding
+        constraints.  Differentiable — training steps route parameter
+        gradients back through the gathers."""
+        from sddmm_tpu.ops.hybrid import device_bt_phys
 
-    def __call__(self, a, b=None, bt=None):
-        a_pad, bt_pad = self.prepare_operands(a, b=b, bt=bt)
-        return self.run_padded(a_pad, bt_pad)
+        adt, bdt = _storage_dtypes(self.compute_dtype)
+        a_pad = a_pad.astype(adt)
+        bt_pad = bt_pad.astype(bdt)
+        plan = self.plan
+        k = a_pad.shape[1]
+        order = np.where(plan.a_rows_local < self.packed.m,
+                         plan.a_rows_local, self.packed.m)
+        a_sh = jnp.take(a_pad, jnp.asarray(order.reshape(-1),
+                                           dtype=jnp.int32), axis=0)
+        a_sh = a_sh.reshape(plan.R, plan.rows_max, k)
+        a_sh = jnp.concatenate(
+            [a_sh, jnp.zeros((plan.R, 1, k), a_sh.dtype)], axis=1)
+        a_sh = jax.lax.with_sharding_constraint(a_sh, self._a_sharding)
+        p = self.packed
+        col_order = np.where(p.col_order < p.n, p.col_order, p.n)
+        bt_phys = device_bt_phys(
+            bt_pad, jnp.asarray(col_order, dtype=jnp.int32),
+            p.group_size, p.num_col_groups, self.k_chunks)
+        bt_phys = jax.lax.with_sharding_constraint(bt_phys,
+                                                   self._bt_sharding)
+        return a_sh, bt_phys
+
+    def make_packed_targets(self, csr_values) -> tuple:
+        """(targets, mask) in the sharded packed layout (R, flat_local):
+        the training-loss pattern that keeps everything sharded (no
+        flat-vector all-gather; see __graft_entry__.dryrun_multichip)."""
+        dest = self.plan.csr_dest
+        valid = dest < self.packed.nnz
+        vals = np.asarray(csr_values)
+        tgt = np.where(valid, vals[np.minimum(dest, len(vals) - 1)], 0.0)
+        sh = NamedSharding(self.mesh, P("rows", None))
+        return (jax.device_put(jnp.asarray(tgt, dtype=jnp.float32), sh),
+                jax.device_put(jnp.asarray(valid), sh))
+
+    # -- compute --------------------------------------------------------
+    def _make_sharded_fn(self, k: int):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        plan = self.plan
+        kc = k // self.k_chunks
+        lb = plan.local_buckets
+        compute_dtype = self.compute_dtype
+
+        def local_step(a_loc, bt_loc, s_rows, s_gids, q_rows, q_gids,
+                       p_rows, p_gids, g_rows, g_gids, r_rows, r_gids,
+                       r_member):
+            flat = _hybrid_packed_jit(
+                a_loc[0], bt_loc, s_rows[0], s_gids[0], q_rows[0],
+                q_gids[0], p_rows[0], p_gids[0], g_rows[0], g_gids[0],
+                r_rows[0], r_gids[0], r_member[0],
+                compute_dtype=compute_dtype,
+                g=self.packed.group_size, kc=kc,
+                super_buckets=lb["super"], quad_buckets=lb["quad"],
+                pair_buckets=lb["pair"], group_buckets=lb["group"])
+            return jax.lax.psum(flat, "feat")[None]
+
+        spec2 = P("rows", None)
+        spec3 = P("rows", None, None)
+        return shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(P("rows", None, "feat"), P("feat", None, None),
+                      spec3, spec3, spec3, spec3, spec3, spec3,
+                      spec3, spec3, spec2, spec2, spec2),
+            out_specs=spec2)
+
+    @functools.cached_property
+    def _jitted(self):
+        cache = {}
+
+        def run(a_sh, bt_sh):
+            k = a_sh.shape[2]
+            if k not in cache:
+                cache[k] = jax.jit(self._make_sharded_fn(k))
+            return cache[k](
+                a_sh, bt_sh, *self._tiles["super"], *self._tiles["quad"],
+                *self._tiles["pair"], *self._tiles["group"],
+                self._res_rows, self._res_gids, self._res_member)
+
+        return run
+
+    def run_padded(self, a_sh, bt_sh, order: str = None):
+        """Sharded fast path; operands from prepare_operands.  Returns
+        the (R, flat_local) packed-order values (sharded on 'rows') or
+        CSR-order values with ``order="csr"``."""
+        order = order or self.default_order
+        flat = self._jitted(a_sh, bt_sh)
+        if order == "packed":
+            return flat
+        if order == "csr":
+            return self.to_csr_order(flat)
+        raise ValueError(f"unknown order {order!r}")
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _to_csr_jit(self, flat):
+        keys = self._csr_dest.reshape(-1)
+        _, vals = jax.lax.sort((keys, flat.reshape(-1)), num_keys=1)
+        return jax.lax.slice_in_dim(vals, 0, self.packed.nnz)
+
+    def to_csr_order(self, flat):
+        """Global CSR-order conversion (explicit opt-in: gathers the
+        sharded flat vector; cost scales with packed size)."""
+        return self._to_csr_jit(flat)
+
+    def __call__(self, a, b=None, bt=None, order: str = None):
+        a_sh, bt_sh = self.prepare_operands(a, b=b, bt=bt)
+        return self.run_padded(a_sh, bt_sh, order=order)
+
+    # -- introspection --------------------------------------------------
+    def tile_balance(self) -> np.ndarray:
+        """Per-device real (non-padding) packed-slot counts — the
+        load-balance diagnostic the window partitioner optimizes."""
+        plan = self.plan
+        dest = plan.csr_dest
+        return np.sum(dest < self.packed.nnz, axis=1)
+
+    def compiled_hlo(self, a_sh, bt_sh) -> str:
+        """Compiled HLO text of the sharded packed-order step (for
+        collective auditing: scripts/scaling_bench.py asserts no
+        all-gather of the flat value vector appears)."""
+        k = a_sh.shape[2]
+        fn = jax.jit(self._make_sharded_fn(k))
+        args = (a_sh, bt_sh, *self._tiles["super"], *self._tiles["quad"],
+                *self._tiles["pair"], *self._tiles["group"],
+                self._res_rows, self._res_gids, self._res_member)
+        return fn.lower(*args).compile().as_text()
+
+
+def count_collectives(hlo_text: str) -> dict:
+    """Histogram of collective ops in compiled HLO text."""
+    import re
+    ops = ("all-gather", "all-reduce", "reduce-scatter",
+           "collective-permute", "all-to-all")
+    out = {}
+    for op in ops:
+        out[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo_text))
+    return out

@@ -50,9 +50,19 @@ _DOT_G16_MS = {
     ("float32", 64): 49.0e6, ("float32", 128): 27.0e6,
     ("tf32", 16): 11.5e6, ("tf32", 32): 66.0e6, ("tf32", 64): 99.0e6,
     ("tf32", 128): 54.0e6,
+    ("mixed", 16): 11.5e6, ("mixed", 32): 66.0e6, ("mixed", 64): 99.0e6,
+    ("mixed", 128): 54.0e6,
     ("bfloat16", 16): 185.0e6, ("bfloat16", 32): 500.0e6,
     ("bfloat16", 64): 500.0e6, ("bfloat16", 128): 360.0e6,
+    # float16 storage = manual 3-pass bf16 dots (ops/hybrid._dot3):
+    # one third of the native bf16 rate.
+    ("float16", 16): 61.0e6, ("float16", 32): 166.0e6,
+    ("float16", 64): 166.0e6, ("float16", 128): 120.0e6,
 }
+
+# (A bytes, B bytes) per element by compute/storage mode.
+_ELEM_BYTES = {"float32": (4, 4), "tf32": (4, 4), "mixed": (4, 2),
+               "float16": (2, 2), "bfloat16": (2, 2)}
 
 
 def _row_rate(row_bytes: float, src_mb: float) -> float:
@@ -94,7 +104,7 @@ class TunedConfig:
 def estimate_ms(packed: PackedMatrix, k: int,
                 compute_dtype: str = "tf32", k_chunks: int = 1) -> float:
     """Predicted single-chip kernel time (ms) for one hybrid SDDMM call."""
-    el = 2 if compute_dtype == "bfloat16" else 4
+    a_el, b_el = _ELEM_BYTES[compute_dtype]
     G, NG, C = packed.group_size, packed.num_col_groups, int(k_chunks)
     kc = k // C
     LG = GROUP_LANES // G
@@ -103,25 +113,25 @@ def estimate_ms(packed: PackedMatrix, k: int,
 
     # B gathers: LG group rows per tile per chunk; repeated group fetches
     # (one group used by many tiles) are discounted.
-    b_src = (NG + 1) * G * kc * el
+    b_src = (NG + 1) * G * kc * b_el
     b_rows = n_tiles * LG
     b_uniq = min(b_rows, len(np.unique(np.concatenate([
         packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
         packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1)])))
         if b_rows else 0)
-    t_b = C * _take_ms(b_rows, G * kc * el, b_src, b_uniq)
+    t_b = C * _take_ms(b_rows, G * kc * b_el, b_src, b_uniq)
     # A gathers: full-K rows, once per container (run-major layout).
     a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
               + sum(n * 64 for _, _, n in packed.quad_buckets)
               + sum(n * 32 for _, _, n in packed.pair_buckets)
               + sum(n * 16 for _, _, n in packed.group_buckets))
     a_uniq = min(a_rows, packed.num_panels * 16)
-    a_src = (packed.m + 1) * k * el
-    t_a = _take_ms(a_rows, k * el, a_src, a_uniq)
+    a_src = (packed.m + 1) * k * a_el
+    t_a = _take_ms(a_rows, k * a_el, a_src, a_uniq)
     # Residual gathers: A row once, B group row per chunk.
     nR = packed.nnz_res
-    t_r = _take_ms(nR, k * el, a_src) \
-        + C * _take_ms(nR, G * kc * el, b_src)
+    t_r = _take_ms(nR, k * a_el, a_src) \
+        + C * _take_ms(nR, G * kc * b_el, b_src)
 
     # Streaming: the dot re-reads the gathered operands and writes tiles;
     # residual elementwise + reduce.
@@ -130,8 +140,8 @@ def estimate_ms(packed: PackedMatrix, k: int,
              + packed.num_quads * QUAD_CELLS
              + packed.num_pairs * PAIR_CELLS
              + packed.num_groups * GROUP_CELLS)
-    gathered = (n_tiles * GROUP_LANES * k + a_rows * k) * el \
-        + nR * (1 + G) * k * el
+    gathered = (n_tiles * GROUP_LANES * k * b_el + a_rows * k * a_el) \
+        + nR * (k * a_el + G * k * b_el)
     stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
 
@@ -154,7 +164,7 @@ def estimate_ms(packed: PackedMatrix, k: int,
 def _candidate_layouts(n: int, k: int, compute_dtype: str):
     """(G, C) candidates: descriptor width near the 256-512 B sweet spot,
     source footprint near/below the fast-gather window."""
-    el = 2 if compute_dtype == "bfloat16" else 4
+    el = _ELEM_BYTES[compute_dtype][1]  # B-side storage drives the layout
     gs = {1}
     for target in (256, 512):
         g = max(1, target // (k * el))
@@ -163,11 +173,13 @@ def _candidate_layouts(n: int, k: int, compute_dtype: str):
     cs = {1}
     src_mb = n * k * el / 1e6
     if src_mb > 12.0:
-        c = 1 << int(np.ceil(np.log2(src_mb / 8.0)))
-        while c > 1 and k % c:
-            c //= 2
-        if c > 1:
-            cs.add(c)
+        # chunk counts bracketing the ~8 MB fast-gather window
+        for c in (1 << int(np.floor(np.log2(src_mb / 8.0))),
+                  1 << int(np.ceil(np.log2(src_mb / 8.0)))):
+            while c > 1 and k % c:
+                c //= 2
+            if 1 < c <= 8:
+                cs.add(c)
     return sorted(gs), sorted(cs)
 
 

@@ -174,6 +174,15 @@ class PackedMatrix:
     packed_rows: np.ndarray  # (F,) int32
     packed_cols: np.ndarray  # (F,) int32
     csr_dest: np.ndarray     # (F,) int64
+    # Container topology (for multi-chip partitioning, parallel/dist.py):
+    # container -> member panels (CSR layout), and per family the
+    # container id of each run in bucketed-run order.
+    cont_panel_off: np.ndarray = None   # (nC+1,)
+    cont_panel_ids: np.ndarray = None   # (sum,) panel ids
+    super_run_cont: np.ndarray = None   # (n_super_runs,)
+    quad_run_cont: np.ndarray = None
+    pair_run_cont: np.ndarray = None
+    group_run_cont: np.ndarray = None
 
     @property
     def packed_size(self) -> int:
@@ -601,6 +610,16 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     spill = csr_dest < 0
     csr_dest[spill] = csr.nnz + np.arange(int(spill.sum()))
 
+    # Container topology for multi-chip partitioning.
+    cont_panel_off = np.zeros(num_cont + 1, dtype=np.int64)
+    for cid in range(num_cont):
+        cont_panel_off[cid + 1] = cont_panel_off[cid] + len(cont_panels[cid])
+    cont_panel_ids = (np.concatenate([np.asarray(p, dtype=np.int64)
+                                      for p in cont_panels])
+                      if num_cont else np.zeros(0, dtype=np.int64))
+    run_cont = {f: np.asarray(fam_conts[f], dtype=np.int64)
+                for f in fam_conts}
+
     return PackedMatrix(
         m=m, n=n, k_hint=k_hint, nnz=csr.nnz,
         num_panels=num_panels, num_blocks=num_blocks,
@@ -631,4 +650,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         packed_rows=packed_rows.astype(np.int32),
         packed_cols=packed_cols.astype(np.int32),
         csr_dest=csr_dest,
+        cont_panel_off=cont_panel_off,
+        cont_panel_ids=cont_panel_ids,
+        super_run_cont=run_cont[_FAM_SUPER],
+        quad_run_cont=run_cont[_FAM_QUAD],
+        pair_run_cont=run_cont[_FAM_PAIR],
+        group_run_cont=run_cont[_FAM_GROUP],
     )

@@ -106,7 +106,8 @@ def test_scaling_bench_script_runs(capsys):
     # sharded fp32 may reassociate reductions; require the reference
     # tolerance class, not exact zero
     import json as _json
-    payload = _json.loads(out[out.index("{"):])
+    json_line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    payload = _json.loads(json_line)
     assert all(r["max_rel_err"] < 1e-3 for r in payload["results"])
 
 
