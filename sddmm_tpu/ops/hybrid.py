@@ -137,10 +137,17 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
     C = bt_phys.shape[0]
     LG = GROUP_LANES // g
 
-    dnums = (((2,), (2,)), ((0,), (0,)))
+    # For grouped layouts the gathered B stays in its native 4-D view
+    # (n, b*LG, G, kc) and the dot contracts kc directly — the obvious
+    # (n, b*LG, G*kc) -> (n, b*128, kc) reshape is a physical minor-dim
+    # relayout under TPU tiling (measured ~1.9x slower end-to-end).  The
+    # (n, R, b*LG, G) output flattens in exactly the packed lane order
+    # (lane = lgrp*G + member, reorder/pack.py).
+    dnums = ((((2,), (2,)), ((0,), (0,))) if g == 1
+             else (((2,), (3,)), ((0,), (0,))))
 
     def dot(a_c, bg):
-        if pallas_dots and compute_dtype == "tf32":
+        if pallas_dots and compute_dtype == "tf32" and g == 1:
             from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
             return tile_dot_padded(a_c, bg)
         if compute_dtype == "float16":
@@ -184,13 +191,15 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                 gids_arr, start, start + n_runs * b, axis=0)
             gids = gids.reshape(n_runs, b * LG)
             a_run = jnp.take(a_pad, run_rows, axis=0)  # (n, R, K)
-            acc = jnp.zeros((n_runs, rows_arr.shape[1],
-                             b * GROUP_LANES), jnp.float32)
+            out_shape = ((n_runs, rows_arr.shape[1], b * GROUP_LANES)
+                         if g == 1
+                         else (n_runs, rows_arr.shape[1], b * LG, g))
+            acc = jnp.zeros(out_shape, jnp.float32)
             for c in range(C):
                 bt_c = bt_phys[c]
                 bg = jnp.take(bt_c, gids, axis=0)  # (n, b*LG, G*Kc)
-                bg = bg.reshape(n_runs, b * LG, g, kc).reshape(
-                    n_runs, b * GROUP_LANES, kc)
+                if g > 1:
+                    bg = bg.reshape(n_runs, b * LG, g, kc)
                 a_c = jax.lax.slice_in_dim(a_run, c * kc, (c + 1) * kc,
                                            axis=2)
                 acc = acc + dot(a_c, bg)

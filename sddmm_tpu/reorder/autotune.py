@@ -65,6 +65,52 @@ _ELEM_BYTES = {"float32": (4, 4), "tf32": (4, 4), "mixed": (4, 2),
                "float16": (2, 2), "bfloat16": (2, 2)}
 
 
+def load_calibration(path_or_dict) -> None:
+    """Replace the measured model constants with a calibration produced
+    by scripts/calibrate.py (JSON path or parsed dict).  Set the
+    ``SDDMM_TPU_CALIBRATION`` environment variable to auto-load at
+    import time.  Hardware changes silently invalidate the shipped v5e
+    constants; re-run the probes instead of trusting them."""
+    global STREAM_GBPS, _SRC_F
+    import json
+    from pathlib import Path
+
+    cal = (path_or_dict if isinstance(path_or_dict, dict)
+           else json.loads(Path(path_or_dict).read_text()))
+    if "stream_gbps" in cal:
+        STREAM_GBPS = float(cal["stream_gbps"])
+    for rb, rate in cal.get("row_rate_8mb", {}).items():
+        _ROW_RATE_8MB[int(rb)] = float(rate)
+    if cal.get("src_factor"):
+        pts = sorted((float(mb), float(f))
+                     for mb, f in cal["src_factor"].items())
+        _SRC_MB_local = [0.0] + [mb for mb, _ in pts] + [1e9]
+        _SRC_F_local = ([pts[0][1]] + [f for _, f in pts]
+                        + [pts[-1][1]])
+        _SRC_F = np.array(_SRC_F_local)
+        globals()["_SRC_MB"] = np.array(_SRC_MB_local)
+    # derived rates: tf32 HIGH == mixed 2-pass class; float16 = 3-pass
+    # bf16 (one third of the native bf16 rate)
+    for key, rate in cal.get("dot_g16_ms", {}).items():
+        dt, m = key.split(",")
+        rate = float(rate) * 1e6
+        _DOT_G16_MS[(dt, int(m))] = rate
+        if dt == "tf32":
+            _DOT_G16_MS[("mixed", int(m))] = rate
+        if dt == "bfloat16":
+            _DOT_G16_MS[("float16", int(m))] = rate / 3.0
+
+
+def _maybe_autoload():
+    import os
+    path = os.environ.get("SDDMM_TPU_CALIBRATION")
+    if path:
+        load_calibration(path)
+
+
+_maybe_autoload()
+
+
 def _row_rate(row_bytes: float, src_mb: float) -> float:
     """Gather descriptors/second for XLA take."""
     keys = sorted(_ROW_RATE_8MB)
@@ -184,7 +230,7 @@ def _candidate_layouts(n: int, k: int, compute_dtype: str):
 
 
 def autotune(csr: CSR, k: int = 128,
-             alphas: Sequence[float] = (0.3,),
+             alphas: Sequence[float] = (0.1, 0.3, 0.5),
              deltas: Sequence[float] = (0.0, 0.05, 0.3),
              compute_dtype: str = "tf32",
              method: str = "auto",
@@ -252,15 +298,18 @@ def autotune(csr: CSR, k: int = 128,
     finalists: list[TunedConfig] = []
     seen_cls: set = set()
     seen_delta: set = set()
+    seen_alpha: set = set()
     for cand in candidates:
         cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks)
         take_it = (len(finalists) < measure_top or cls not in seen_cls
-                   or cand.delta not in seen_delta)
+                   or cand.delta not in seen_delta
+                   or cand.alpha not in seen_alpha)
         if take_it and cand not in finalists:
             finalists.append(cand)
             seen_cls.add(cls)
             seen_delta.add(cand.delta)
-        if len(finalists) >= measure_top + 5:
+            seen_alpha.add(cand.alpha)
+        if len(finalists) >= measure_top + 6:
             break
 
     from sddmm_tpu.data import generate

@@ -176,3 +176,36 @@ def test_hybrid_empty_rows_and_panels():
     want = sddmm_reference(a, b, csr)
     res = check_values(want, got)
     assert res.passed, str(res)
+
+
+def test_calibration_load_and_script(tmp_path):
+    """calibrate.py --quick produces a JSON the autotuner can load."""
+    import json
+    import runpy
+    import subprocess
+    import sys
+
+    from sddmm_tpu.reorder import autotune
+
+    out = tmp_path / "cal.json"
+    r = subprocess.run(
+        [sys.executable, "scripts/calibrate.py", "--quick", "--cpu", "-o",
+         str(out)], capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cal = json.loads(out.read_text())
+    assert cal["stream_gbps"] > 0
+    assert set(cal["row_rate_8mb"]) == {"128", "256", "512", "1024",
+                                        "2048"}
+    old_stream = autotune.STREAM_GBPS
+    old_rates = dict(autotune._ROW_RATE_8MB)
+    old_dots = dict(autotune._DOT_G16_MS)
+    try:
+        autotune.load_calibration(cal)
+        assert autotune.STREAM_GBPS == cal["stream_gbps"]
+        assert autotune._ROW_RATE_8MB[512] == cal["row_rate_8mb"]["512"]
+        assert autotune._DOT_G16_MS[("mixed", 16)] == \
+            autotune._DOT_G16_MS[("tf32", 16)]
+    finally:
+        autotune.STREAM_GBPS = old_stream
+        autotune._ROW_RATE_8MB.update(old_rates)
+        autotune._DOT_G16_MS.update(old_dots)
