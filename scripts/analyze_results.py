@@ -89,6 +89,10 @@ def main(argv=None):
     p.add_argument("log_dir", type=Path)
     p.add_argument("--k", type=int, default=128)
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--hybrid", action="store_true",
+                   help="also write results_hybrid_<K>.csv (BSMR vs "
+                   "dense-only vs residual-only, the reference's "
+                   "results_hybrid layout)")
     args = p.parse_args(argv)
     table = collect(args.log_dir, args.k)
     if not table:
@@ -97,6 +101,14 @@ def main(argv=None):
         return 1
     out = args.out or args.log_dir / f"results_{args.k}.csv"
     write_csv(table, out)
+    if args.hybrid:
+        hcols = ("bsmr", "bsmr_dense_only", "bsmr_residual_only")
+        htable = {m: {t: row[t] for t in hcols if t in row}
+                  for m, row in table.items()}
+        htable = {m: r for m, r in htable.items() if r}
+        hout = out.parent / f"results_hybrid_{args.k}.csv"
+        write_csv(htable, hout)
+        print(f"wrote {hout} ({len(htable)} matrices)")
     print(f"wrote {out} ({len(table)} matrices)")
     for (a, b), s in sorted(geomean_speedups(table).items()):
         print(f"  geomean {a} vs {b}: {s:.2f}x")

@@ -35,7 +35,7 @@ def _extract(tgz: Path, out: Path):
             tf.extractall(out)
 
 
-SUITESPARSE_URL = "https://suitesparse-collection-website.herokuapp.com/MM/{group}/{name}.tar.gz"
+SUITESPARSE_URL = "https://sparse.tamu.edu/MM/{group}/{name}.tar.gz"
 DLMC_URL = "https://storage.googleapis.com/sgk-sc2020/dlmc.tar.gz"
 
 

@@ -35,7 +35,9 @@ def main(argv=None):
     p.add_argument("--ks", type=int, nargs="+", default=[32, 128])
     p.add_argument("--compute-dtype", default="tf32")
     p.add_argument("--tools", nargs="+",
-                   default=["csr", "dense", "bsmr"])
+                   default=["csr", "dense", "bsmr"],
+                   help="subset of: csr dense bsmr bsmr_dense_only "
+                   "bsmr_residual_only")
     p.add_argument("--validate", action="store_true")
     args = p.parse_args(argv)
 
@@ -108,6 +110,29 @@ def main(argv=None):
                     res = check_values(golden, dense_masked_sddmm(
                         a, b, csr, compute_dtype=args.compute_dtype))
                     extra["dense_check"] = "PASS" if res.passed else "FAIL"
+
+            # Single-path ablations: the reference's hybrid comparison
+            # (results_hybrid CSV, analyze_results.cpp:1127-1134).
+            # delta=0.0 packs every occupied block dense (tensor-path
+            # only); delta=1.1 routes everything to the residual
+            # (vector-path only).
+            for tool, dlt in (("bsmr_dense_only", 0.0),
+                              ("bsmr_residual_only", 1.1)):
+                if tool not in args.tools:
+                    continue
+                from sddmm_tpu.reorder.bsmr import BSMR
+                from sddmm_tpu.reorder.pack import pack
+                bs = BSMR(0.3, dlt, csr)
+                pk = pack(csr, bs, compute_dtype=args.compute_dtype)
+                rn = HybridSDDMM(pk, compute_dtype=args.compute_dtype)
+                ap, bp = rn.prepare_operands(a, b=b)
+                ms = rn.measure_kernel_ms(ap, bp, iterations=20)
+                extra[f"{tool}_gflops"] = 2 * csr.nnz * k / ms / 1e6
+                if golden is not None:
+                    res = check_values(golden,
+                                       np.asarray(rn(a, b, order="csr")))
+                    extra[f"{tool}_check"] = ("PASS" if res.passed
+                                              else "FAIL")
 
             if "bsmr" in args.tools:
                 tuned = autotune(csr, k=k,

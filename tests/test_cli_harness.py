@@ -136,3 +136,42 @@ def test_run_baselines_script_runs(tmp_path, capsys):
     assert "csr_check : PASS" in text
     assert "dense_check : PASS" in text
     assert "bsmr_check : PASS" in text
+
+
+def test_hybrid_ablation_tools_and_csv(tmp_path, capsys):
+    """bsmr_dense_only / bsmr_residual_only runs + the results_hybrid
+    CSV (reference analyze_results.cpp:1127-1134 layout)."""
+    import csv
+    import runpy
+    import sys
+
+    from sddmm_tpu.data import generate, io
+
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    io.save_mtx(mdir / "tiny.mtx",
+                generate.block_clustered(6, 6, block_prob=0.3, seed=3))
+    argv = sys.argv
+    sys.argv = ["run_baselines.py", str(mdir), str(tmp_path / "logs"),
+                "--ks", "16", "--validate", "--tools", "bsmr",
+                "bsmr_dense_only", "bsmr_residual_only"]
+    try:
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            runpy.run_path("scripts/run_baselines.py", run_name="__main__")
+        text = next((tmp_path / "logs").glob("*.log")).read_text()
+        assert "bsmr_dense_only_check : PASS" in text
+        assert "bsmr_residual_only_check : PASS" in text
+        sys.argv = ["analyze_results.py", str(tmp_path / "logs"),
+                    "--k", "16", "--hybrid"]
+        with _pytest.raises(SystemExit):
+            runpy.run_path("scripts/analyze_results.py",
+                           run_name="__main__")
+    finally:
+        sys.argv = argv
+    hcsv = tmp_path / "logs" / "results_hybrid_16.csv"
+    assert hcsv.exists()
+    rows = list(csv.reader(hcsv.open()))
+    assert rows[0] == ["matrix", "bsmr", "bsmr_dense_only",
+                       "bsmr_residual_only"]
+    assert len(rows) == 2
