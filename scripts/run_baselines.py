@@ -52,7 +52,6 @@ def main(argv=None):
     from sddmm_tpu.ops.dense import dense_masked_sddmm
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     from sddmm_tpu.ops.reference import sddmm_reference
-    from sddmm_tpu.reorder.autotune import autotune
     from sddmm_tpu.utils.check import check_values
     from sddmm_tpu.utils.logger import RunLog
 
@@ -63,8 +62,13 @@ def main(argv=None):
         print(f"no matrices under {args.matrix_dir}", file=sys.stderr)
         return 1
 
+    from sddmm_tpu.reorder.autotune import autotune_multi
+
     for path in files:
         csr = io.load(path)
+        tuned_by_k = (autotune_multi(csr, args.ks,
+                                     compute_dtype=args.compute_dtype)
+                      if "bsmr" in args.tools else {})
         for k in args.ks:
             a = generate.make_dense(csr.m, k, seed=1)
             b = generate.make_dense(k, csr.n, seed=2)
@@ -135,8 +139,7 @@ def main(argv=None):
                                               else "FAIL")
 
             if "bsmr" in args.tools:
-                tuned = autotune(csr, k=k,
-                                 compute_dtype=args.compute_dtype)
+                tuned = tuned_by_k[k]
                 runner = HybridSDDMM(tuned.packed,
                                      compute_dtype=args.compute_dtype,
                                      k_chunks=tuned.k_chunks)

@@ -229,30 +229,36 @@ def _candidate_layouts(n: int, k: int, compute_dtype: str):
     return sorted(gs), sorted(cs)
 
 
-def autotune(csr: CSR, k: int = 128,
-             alphas: Sequence[float] = (0.1, 0.3, 0.5),
-             deltas: Sequence[float] = (0.0, 0.05, 0.3),
-             compute_dtype: str = "tf32",
-             method: str = "auto",
-             measure: bool = False,
-             measure_top: int = 3,
-             measure_iterations: int = 30,
-             verbose: bool = False) -> TunedConfig:
-    """Pick (alpha, delta, merge, G, C) minimizing modeled kernel time;
-    with ``measure=True`` the top ``measure_top`` candidates are timed on
-    the device and the fastest wins (the reference's empirical sweep,
-    src/sddmm.cu:62-118, guided by the model).
+def autotune_multi(csr: CSR, ks: Sequence[int],
+                   alphas: Sequence[float] = (0.1, 0.3, 0.5),
+                   deltas: Sequence[float] = (0.0, 0.05, 0.3),
+                   compute_dtype: str = "tf32",
+                   method: str = "auto",
+                   measure: bool = False,
+                   measure_top: int = 3,
+                   measure_iterations: int = 30,
+                   verbose: bool = False) -> dict:
+    """Pick (alpha, delta, merge, G, C) minimizing modeled kernel time,
+    for every K in ``ks`` at once; with ``measure=True`` the top
+    ``measure_top`` candidates per K are timed on the device and the
+    fastest wins (the reference's empirical sweep, src/sddmm.cu:62-118,
+    guided by the model).
 
-    Row reordering is computed once per alpha and reused across deltas
-    (the same reuse trick as the reference's test mode)."""
-    gs, cs = _candidate_layouts(csr.n, k, compute_dtype)
-    candidates: list[TunedConfig] = []
+    Packing is K-independent, so candidate packs are built once per
+    (alpha, G, delta, merge) and shared across Ks; row reordering is
+    computed once per alpha and reused across deltas (the same reuse
+    trick as the reference's test mode).  Returns {k: TunedConfig}."""
+    import copy
+
+    layouts = {k: _candidate_layouts(csr.n, k, compute_dtype) for k in ks}
+    all_gs = sorted({g for k in ks for g in layouts[k][0]})
     col_rank_cache: dict[float, np.ndarray] = {}  # keyed by alpha
+    packs: list[tuple] = []   # (alpha, g, delta, merge, packed, bsmr)
 
     for alpha in alphas:
         base = BSMR(alpha, 0.0, csr, method=method, compute=False)
         base.run_row_reordering(csr)
-        for g in gs:
+        for g in all_gs:
             if g > 1 and alpha not in col_rank_cache:
                 from sddmm_tpu.reorder.cols import cluster_columns
                 order = cluster_columns(csr, alpha, method=method)
@@ -270,31 +276,62 @@ def autotune(csr: CSR, k: int = 128,
             for delta in deltas:
                 bsmr.run_col_reordering(csr, delta=delta)
                 for merge in (False, True):
-                    packed = pack(csr, bsmr, k_hint=k,
-                                  merge_superpanels=merge,
+                    packed = pack(csr, bsmr, merge_superpanels=merge,
                                   compute_dtype=compute_dtype)
-                    for c in cs:
-                        est = estimate_ms(packed, k, compute_dtype, c)
-                        if verbose:
-                            print(f"  a={alpha} d={delta} G={g} C={c} "
-                                  f"merge={merge}: nS={packed.num_super} "
-                                  f"nG={packed.num_groups} "
-                                  f"res={packed.nnz_res} est={est:.3f}ms")
-                        import copy
-                        candidates.append(TunedConfig(
-                            alpha, delta, merge, g, c, est, packed,
-                            copy.copy(bsmr)))
+                    packs.append((alpha, g, delta, merge, packed,
+                                  copy.copy(bsmr)))
 
-    candidates.sort(key=lambda t: t.est_ms)
-    best = candidates[0]
-    if not measure:
-        return best
+    out = {}
+    for k in ks:
+        gs_k, cs_k = layouts[k]
+        candidates: list[TunedConfig] = []
+        for (alpha, g, delta, merge, packed, bsmr) in packs:
+            if g not in gs_k:
+                continue
+            for c in cs_k:
+                est = estimate_ms(packed, k, compute_dtype, c)
+                if verbose:
+                    print(f"  k={k} a={alpha} d={delta} G={g} C={c} "
+                          f"merge={merge}: nS={packed.num_super} "
+                          f"nG={packed.num_groups} "
+                          f"res={packed.nnz_res} est={est:.3f}ms")
+                candidates.append(TunedConfig(
+                    alpha, delta, merge, g, c, est, packed, bsmr))
+        candidates.sort(key=lambda t: t.est_ms)
+        if not measure:
+            out[k] = candidates[0]
+            continue
+        out[k] = _shootout(csr, k, candidates, compute_dtype,
+                           measure_top, measure_iterations, verbose)
+    return out
 
-    # On-device shoot-out: the model's overall top picks PLUS the best
-    # candidate of every distinct (merge, G, C) shape class AND of every
-    # delta — gather cost is index-distribution-dependent (hot rows
-    # cache), so the model's ranking across classes is approximate and
-    # measurement arbitrates.
+
+def autotune(csr: CSR, k: int = 128,
+             alphas: Sequence[float] = (0.1, 0.3, 0.5),
+             deltas: Sequence[float] = (0.0, 0.05, 0.3),
+             compute_dtype: str = "tf32",
+             method: str = "auto",
+             measure: bool = False,
+             measure_top: int = 3,
+             measure_iterations: int = 30,
+             verbose: bool = False) -> TunedConfig:
+    """Single-K convenience wrapper over autotune_multi."""
+    return autotune_multi(
+        csr, (k,), alphas=alphas, deltas=deltas,
+        compute_dtype=compute_dtype, method=method, measure=measure,
+        measure_top=measure_top, measure_iterations=measure_iterations,
+        verbose=verbose)[k]
+
+
+def _shootout(csr, k, candidates, compute_dtype, measure_top,
+              measure_iterations, verbose):
+    """On-device shoot-out: the model's overall top picks PLUS the best
+    candidate of every distinct (merge, G, C) shape class, delta, and
+    alpha — gather cost is index-distribution-dependent (hot rows
+    cache), so the model's ranking across classes is approximate and
+    measurement arbitrates."""
+    import copy
+
     finalists: list[TunedConfig] = []
     seen_cls: set = set()
     seen_delta: set = set()
@@ -316,16 +353,19 @@ def autotune(csr: CSR, k: int = 128,
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     a = generate.make_dense(csr.m, k, seed=1)
     b = generate.make_dense(k, csr.n, seed=2)
+    out = []
     for cand in finalists:
         runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
                              k_chunks=cand.k_chunks)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
+        cand = copy.copy(cand)
         cand.measured_ms = runner.measure_kernel_ms(
             a_pad, bt_phys, iterations=measure_iterations, repeats=6)
+        out.append(cand)
         if verbose:
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "
                   f"merge={cand.merge_superpanels}: "
                   f"{cand.measured_ms:.3f}ms (est {cand.est_ms:.3f})")
-    finalists.sort(key=lambda t: t.measured_ms)
-    return finalists[0]
+    out.sort(key=lambda t: t.measured_ms)
+    return out[0]

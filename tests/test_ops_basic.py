@@ -102,3 +102,19 @@ def test_profiling_wrappers_noop_safe(tmp_path):
     with trace(tmp_path):
         with annotate("stage"):
             assert float(jnp.asarray(1.0) + 1.0) == 2.0
+
+
+def test_batch_overlap_report():
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.ops.batch import batch_overlap_report
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+
+    csr = generate.block_clustered(8, 8, block_prob=0.3, seed=9)
+    runner = HybridSDDMM.from_csr(csr, 0.3, 0.3, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    a = rng.random((2, csr.m, 16), dtype=np.float32)
+    b = rng.random((2, 16, csr.n), dtype=np.float32)
+    rep = batch_overlap_report(runner, a, b, iterations=3)
+    assert rep["batch_size"] == 2
+    assert rep["batch_ms"] > 0 and rep["serial_ms"] > 0
+    assert rep["overlap_efficiency"] > 0
