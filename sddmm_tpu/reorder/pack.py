@@ -338,9 +338,12 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                     u = np.unique(np.concatenate(chunk))
                 unions_r.append(u)
                 if len(u):
-                    # Cost what the kernel will actually execute: the
-                    # container is padded to a power-of-2 chunk bucket.
-                    chunks = _bucket_of(padded(len(u)) // LG)
+                    # Exact-first bucketing (below) pads at most a
+                    # handful of low-population chunk counts, so cost
+                    # the unpadded chunk count (pow2-padded costing was
+                    # measured to push decisions toward small r and
+                    # lose ~45% end-to-end on coarse block structure).
+                    chunks = padded(len(u)) // LG
                     cost_r += (_COST_PER_COL[r] * lane_b * chunks * LG
                                + mxu_ns[r] * r * chunks)
             sub_unions[r] = unions_r
@@ -373,10 +376,40 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     entry_member = member_of(col_idx.astype(np.int64))
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
-    bucket_of = _bucket_of
-
     def chunks_of(cid: int) -> int:
         return max(padded(len(cont_groups[cid])) // LG, 1)
+
+    # --- Assign per-container device bucket sizes: exact chunk counts,
+    # with low-population counts merged upward so each family keeps a
+    # bounded number of batched-dot segments.  (Power-of-2 buckets were
+    # measured ~45-80% slower end-to-end on coarse block structure: the
+    # padding chunks pay real gathers, dots, and output writes.) ---
+    cont_bucket = np.zeros(max(num_cont, 1), dtype=np.int64)
+    for f in (_FAM_SUPER, _FAM_QUAD, _FAM_PAIR, _FAM_GROUP):
+        cids = [cid for cid in range(num_cont) if cont_family[cid] == f]
+        if not cids:
+            continue
+        counts = {cid: chunks_of(cid) for cid in cids}
+        pop: dict[int, int] = {}
+        for c in counts.values():
+            pop[c] = pop.get(c, 0) + 1
+        sizes = sorted(pop)
+        assign: dict[int, int] = {}
+        group: list[int] = []
+        for s in sizes:
+            group.append(s)
+            if (sum(pop[x] for x in group) >= 3) or s == sizes[-1]:
+                for x in group:
+                    assign[x] = s
+                group = []
+        if len(set(assign.values())) > 12:
+            # pathological diversity: fall back to pow2 buckets
+            assign = {s: _bucket_of(s) for s in sizes}
+        for cid in cids:
+            cont_bucket[cid] = assign[counts[cid]]
+
+    def bucket_of_cid(cid: int) -> int:
+        return int(cont_bucket[cid])
 
     # --- Residual absorption into the sentinel lanes of the container's
     # bucket-padded capacity (the padding tiles exist either way) ---
@@ -400,7 +433,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         end = np.searchsorted(u_cont, np.arange(num_cont), side="right")
         for cid in range(num_cont):
             nreal = len(cont_groups[cid])
-            free = bucket_of(chunks_of(cid)) * LG - nreal
+            free = bucket_of_cid(cid) * LG - nreal
             if free <= 0 or end[cid] <= start[cid]:
                 continue
             pick = u_gid[start[cid]:end[cid]][:free]
@@ -408,7 +441,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                 cont_groups[cid] = np.concatenate([cont_groups[cid], pick])
 
     # --- Build the three tile families, bucketed run-major ---
-    # Containers of a family are sorted by their power-of-2 chunk-count
+    # Containers of a family are sorted by their assigned chunk-count
     # bucket and padded with sentinel chunks up to the bucket size; the
     # flat device layout is then *run-major* within each bucket
     # (run, row, chunk*128 + lane), so the hybrid kernel gathers A once
@@ -423,7 +456,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         fam_conts[cont_family[cid]].append(cid)
 
     for f in fam_conts:
-        fam_conts[f].sort(key=lambda cid: (bucket_of(chunks_of(cid)), cid))
+        fam_conts[f].sort(key=lambda cid: (bucket_of_cid(cid), cid))
 
     fam_tiles: dict[int, list[tuple[int, np.ndarray]]] = {
         _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
@@ -432,7 +465,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     for f, cids in fam_conts.items():
         for cid in cids:
             g = cont_groups[cid]
-            b = bucket_of(chunks_of(cid))
+            b = bucket_of_cid(cid)
             gp = np.concatenate(
                 [g, np.full(b * LG - len(g), NG, dtype=np.int64)])
             if (not fam_buckets[f]) or fam_buckets[f][-1][0] != b:
