@@ -112,17 +112,18 @@ def main():
                                  iterations=15)
         csr_ratio[name] = round(csr_ms / ms, 2)
 
-        # Speed-of-light: minimum HBM bytes any tile approach must move
-        # (gathered B lanes + A rows + packed output, one stream pass
-        # each) at the measured stream bandwidth.
+        # Speed-of-light: minimum HBM bytes this packing must move —
+        # UNIQUE gathered B rows and A rows (repeated descriptors can be
+        # served on-chip) + one pass of the packed output — at the
+        # measured stream bandwidth.
         el = 2 if args.compute_dtype in ("bfloat16", "float16", "mixed") else 4
-        lanes = (packed.num_super + packed.num_quads + packed.num_pairs
-                 + packed.num_groups) * 128
-        a_rows = (packed.num_super * 128 + packed.num_quads * 64
-                  + packed.num_pairs * 32 + packed.num_groups * 16)
-        sol_bytes = (lanes + a_rows) * args.k * el \
-            + packed.packed_size * 4 \
-            + packed.nnz_res * 2 * args.k * el
+        uniq_gids = len(np.unique(np.concatenate([
+            packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
+            packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1),
+            packed.res_gids.reshape(-1)])))
+        uniq_rows = min(packed.m, packed.num_panels * 16)
+        sol_bytes = (uniq_gids * packed.group_size + uniq_rows) \
+            * args.k * el + packed.packed_size * 4
         sol_ms = sol_bytes / 856e6
         sols[name] = round(sol_ms / ms, 3)
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "

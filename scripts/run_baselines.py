@@ -161,7 +161,10 @@ def main(argv=None):
             text = log.print_log()
             for key, val in extra.items():
                 text += f"[{key} : {val}]\n"
-            out.write_text(text)
+            # append so separate tool passes over the same matrix/K
+            # merge in analyze_results.collect
+            with open(out, "a") as fh:
+                fh.write(text)
             summary = " ".join(f"{t}={extra.get(t + '_gflops', 0):.0f}"
                                for t in ("csr", "dense")
                                if t in args.tools)

@@ -95,8 +95,9 @@ def _mxu_slice16_ns(compute_dtype: str) -> dict:
 
 
 def _bucket_of(chunks: int) -> int:
-    """Power-of-2 device bucket a container of ``chunks`` 128-lane
-    chunks is padded to at runtime."""
+    """Next power of 2 >= chunks — the fallback bucket sizing for
+    pathologically diverse chunk-count distributions (the default is
+    exact-first sizing, see pack())."""
     b = 1
     while b < chunks:
         b *= 2
