@@ -23,15 +23,27 @@ Reference counterpart: the two concurrently-streamed CUDA kernels
 - Results land in CSR order via ONE inverse-permutation gather (see
   reorder/pack.py) — no scatter, no atomics.
 
-Precision (``compute_dtype``):
+Precision (``compute_dtype``); measured contract status on U[0,2) data
+is against the reference's abs 1e-5 / rel 1e-3 check
+(include/checkData.hpp:14-29; docs/performance.md "Storage precision"):
 
 - ``"float32"``: exact fp32 (XLA HIGHEST, 6-pass MXU emulation).
-- ``"tf32"`` (default for benchmarking): 3-pass bfloat16 emulation (XLA
-  HIGH) — the TPU analogue of the reference's fp32->tf32 demotion
-  (src/sddmmKernel.cu:317-325), slightly *more* accurate than tf32 and
-  passing the reference's abs 1e-5 / rel 1e-3 contract.
+- ``"tf32"`` (default for benchmarking): fp32 storage, 3-pass bfloat16
+  emulation (XLA HIGH) — the TPU analogue of the reference's
+  fp32->tf32 demotion (src/sddmmKernel.cu:317-325), far *more*
+  accurate than tf32 (~16 mantissa bits) and passing the contract with
+  two orders of magnitude of margin.
+- ``"mixed"``: fp32 A, bfloat16 B storage, 2-pass split dot.  Passes
+  the contract only at K >= 128 (max_rel ~8.5e-4) and measured no
+  faster than tf32 at K <= 128 (the gather is descriptor-rate-bound,
+  not payload-bound) — kept for K >= 256 experiments.
+- ``"float16"``: fp16 storage (the reference's tf32 10-bit mantissa
+  class!), manual 3-pass bf16 dot.  FAILS the contract on 1M-entry
+  matrices (max_rel 1.3-2.4e-3) — i.e. the reference's own storage
+  precision cannot pass its own check on this data; provided for
+  parity experiments only.
 - ``"bfloat16"``: native bf16 inputs, fp32 accumulation; halves gather
-  traffic but sits below the reference's precision class.
+  traffic but fails the contract (max_rel 1.2-2.4e-3).
 """
 
 from __future__ import annotations
