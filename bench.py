@@ -116,14 +116,16 @@ def main():
         # UNIQUE gathered B rows and A rows (repeated descriptors can be
         # served on-chip) + one pass of the packed output — at the
         # measured stream bandwidth.
-        el = 2 if args.compute_dtype in ("bfloat16", "float16", "mixed") else 4
+        from sddmm_tpu.reorder.autotune import _ELEM_BYTES
+        a_el, b_el = _ELEM_BYTES[args.compute_dtype]
         uniq_gids = len(np.unique(np.concatenate([
             packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
             packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1),
             packed.res_gids.reshape(-1)])))
         uniq_rows = min(packed.m, packed.num_panels * 16)
-        sol_bytes = (uniq_gids * packed.group_size + uniq_rows) \
-            * args.k * el + packed.packed_size * 4
+        sol_bytes = (uniq_gids * packed.group_size * b_el
+                     + uniq_rows * a_el) * args.k \
+            + packed.packed_size * 4
         sol_ms = sol_bytes / 856e6
         sols[name] = round(sol_ms / ms, 3)
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "

@@ -45,9 +45,14 @@ def collect(log_dir: Path, k: int):
             if key.endswith("_gflops"):
                 tool = key[: -len("_gflops")]
                 try:
-                    table[matrix][tool] = float(val)
+                    fval = float(val)
                 except ValueError:
-                    pass
+                    continue
+                # merged multi-pass logs: a pass that didn't run this
+                # tool emits a 0.0 placeholder (logger schema parity);
+                # never let it clobber a real measurement
+                if fval > 0.0 or tool not in table[matrix]:
+                    table[matrix][tool] = fval
         # carry reordering metadata for the overhead figures
         for meta in _META_KEYS:
             if meta in entries:

@@ -26,13 +26,28 @@ def _dense_masked_jit(a, b, rows, cols, compute_dtype="tf32"):
     """2-D (row, col) gather of the full product — no flattened index, so
     m*n >= 2**31 cannot overflow int32 (JAX silently downcasts int64
     arrays unless x64 is enabled)."""
-    from sddmm_tpu.ops.hybrid import _dot3, _storage_dtype
-    dt = _storage_dtype(compute_dtype)
+    from sddmm_tpu.ops.hybrid import (_dot3, _split_bf16,
+                                      _storage_dtypes)
+    adt, bdt = _storage_dtypes(compute_dtype)
+    dn = (((1,), (0,)), ((), ()))
     if compute_dtype == "float16":
-        full = _dot3(a.astype(dt), b.astype(dt),
-                     dimension_numbers=(((1,), (0,)), ((), ())))
+        full = _dot3(a.astype(adt), b.astype(bdt), dimension_numbers=dn)
+    elif compute_dtype == "mixed":
+        # fp32 A split to bf16 hi/lo x bf16 B — same 2-pass scheme as
+        # the hybrid path (A must NOT be demoted to bf16)
+        ah, al = _split_bf16(a.astype(adt))
+        bb = b.astype(bdt)
+
+        def d(x):
+            return jax.lax.dot_general(
+                x, bb, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        h, l = jax.lax.optimization_barrier((d(ah), d(al)))
+        full = h + l
     else:
-        full = jnp.dot(a.astype(dt), b.astype(dt),
+        full = jnp.dot(a.astype(adt), b.astype(bdt),
                        preferred_element_type=jnp.float32,
                        precision=_PRECISION[compute_dtype])
     return full[rows, cols]

@@ -230,7 +230,7 @@ class DistributedHybridSDDMM:
 
     def __init__(self, packed: PackedMatrix, mesh: Mesh,
                  compute_dtype: str = "float32", k_chunks: int = 0,
-                 default_order: str = "csr"):
+                 default_order: str = "packed"):
         self.packed = packed
         self.mesh = mesh
         self.compute_dtype = compute_dtype
@@ -392,18 +392,30 @@ class DistributedHybridSDDMM:
             return self.to_csr_order(flat)
         raise ValueError(f"unknown order {order!r}")
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _to_csr_jit(self, flat):
-        keys = self._csr_dest.reshape(-1)
-        _, vals = jax.lax.sort((keys, flat.reshape(-1)), num_keys=1)
-        return jax.lax.slice_in_dim(vals, 0, self.packed.nnz)
+    @functools.cached_property
+    def _to_csr_jit(self):
+        # per-instance jit (a static `self` would pin the instance and
+        # its device buffers in the global jit cache forever)
+        nnz = self.packed.nnz
+        csr_dest = self._csr_dest
+
+        @jax.jit
+        def f(flat):
+            _, vals = jax.lax.sort((csr_dest.reshape(-1),
+                                    flat.reshape(-1)), num_keys=1)
+            return jax.lax.slice_in_dim(vals, 0, nnz)
+
+        return f
 
     def to_csr_order(self, flat):
         """Global CSR-order conversion (explicit opt-in: gathers the
         sharded flat vector; cost scales with packed size)."""
         return self._to_csr_jit(flat)
 
-    def __call__(self, a, b=None, bt=None, order: str = None):
+    def __call__(self, a, b=None, bt=None, order: str = "csr"):
+        """Host convenience: numpy operands in, CSR-order values out
+        (drop-in parity with the reference; the sharded fast path is
+        run_padded with the default packed order)."""
         a_sh, bt_sh = self.prepare_operands(a, b=b, bt=bt)
         return self.run_padded(a_sh, bt_sh, order=order)
 

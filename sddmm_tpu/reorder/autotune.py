@@ -82,30 +82,41 @@ def load_calibration(path_or_dict) -> None:
     for rb, rate in cal.get("row_rate_8mb", {}).items():
         _ROW_RATE_8MB[int(rb)] = float(rate)
     if cal.get("src_factor"):
-        pts = sorted((float(mb), float(f))
-                     for mb, f in cal["src_factor"].items())
+        # factors are measured relative to the 8 MB base rate, so the
+        # grid must carry the 8 MB = 1.0 anchor explicitly
+        fac = {float(mb): float(f) for mb, f in cal["src_factor"].items()}
+        fac.setdefault(8.0, 1.0)
+        pts = sorted(fac.items())
         _SRC_MB_local = [0.0] + [mb for mb, _ in pts] + [1e9]
         _SRC_F_local = ([pts[0][1]] + [f for _, f in pts]
                         + [pts[-1][1]])
         _SRC_F = np.array(_SRC_F_local)
         globals()["_SRC_MB"] = np.array(_SRC_MB_local)
-    # derived rates: tf32 HIGH == mixed 2-pass class; float16 = 3-pass
-    # bf16 (one third of the native bf16 rate)
+    # explicit keys first, then derived rates (tf32 HIGH == mixed 2-pass
+    # class; float16 = 3-pass bf16) only where not explicitly measured
+    explicit = {}
     for key, rate in cal.get("dot_g16_ms", {}).items():
         dt, m = key.split(",")
-        rate = float(rate) * 1e6
-        _DOT_G16_MS[(dt, int(m))] = rate
-        if dt == "tf32":
-            _DOT_G16_MS[("mixed", int(m))] = rate
-        if dt == "bfloat16":
-            _DOT_G16_MS[("float16", int(m))] = rate / 3.0
+        explicit[(dt, int(m))] = float(rate) * 1e6
+    _DOT_G16_MS.update(explicit)
+    for (dt, m), rate in explicit.items():
+        if dt == "tf32" and ("mixed", m) not in explicit:
+            _DOT_G16_MS[("mixed", m)] = rate
+        if dt == "bfloat16" and ("float16", m) not in explicit:
+            _DOT_G16_MS[("float16", m)] = rate / 3.0
 
 
 def _maybe_autoload():
     import os
     path = os.environ.get("SDDMM_TPU_CALIBRATION")
-    if path:
+    if not path:
+        return
+    try:
         load_calibration(path)
+    except Exception as e:  # stale env var must not break imports
+        import warnings
+        warnings.warn(f"SDDMM_TPU_CALIBRATION={path!r} not loaded: {e}; "
+                      "using built-in v5e constants")
 
 
 _maybe_autoload()

@@ -398,11 +398,20 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         assign: dict[int, int] = {}
         group: list[int] = []
         for s in sizes:
+            # never merge a count into a bucket > 2x its size — the
+            # sentinel chunks pay real gathers/dots/writes, so the
+            # padding ratio must stay bounded
+            if group and s > 2 * group[0]:
+                for x in group:
+                    assign[x] = group[-1]
+                group = []
             group.append(s)
             if (sum(pop[x] for x in group) >= 3) or s == sizes[-1]:
                 for x in group:
                     assign[x] = s
                 group = []
+        for x in group:  # tail group (closed by the ratio bound)
+            assign[x] = group[-1]
         if len(set(assign.values())) > 12:
             # pathological diversity: fall back to pow2 buckets
             assign = {s: _bucket_of(s) for s in sizes}

@@ -49,7 +49,8 @@ def test_distributed_grad_flows(packed_small):
     targets = jax.numpy.asarray(csr.values)
 
     def loss(a_pad, bt_pad):
-        return ((dist.run_padded(a_pad, bt_pad) - targets) ** 2).mean()
+        return ((dist.run_padded(a_pad, bt_pad, order="csr")
+                 - targets) ** 2).mean()
 
     g = jax.grad(loss)(a_pad, bt_pad)
     assert np.isfinite(np.asarray(g).sum())
