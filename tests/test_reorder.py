@@ -209,3 +209,32 @@ def test_calibration_load_and_script(tmp_path):
         autotune.STREAM_GBPS = old_stream
         autotune._ROW_RATE_8MB.update(old_rates)
         autotune._DOT_G16_MS.update(old_dots)
+
+
+def test_bucket_merge_ratio_bounded():
+    """Exact-first bucket merging must not pad small containers into a
+    vastly larger bucket (review finding: a lone 128-chunk container
+    must not swallow 1-chunk neighbors)."""
+    from sddmm_tpu.reorder.bsmr import BSMR
+    from sddmm_tpu.reorder.pack import pack
+
+    # one very wide dense row-panel + several narrow ones
+    rng = np.random.default_rng(5)
+    rows_l, cols_l = [], []
+    for r in range(16):                      # panel 0: dense 4096 cols
+        cols = np.arange(0, 4096)
+        rows_l.append(np.full(len(cols), r)); cols_l.append(cols)
+    for p in range(1, 6):                    # panels 1-5: 64 cols each
+        for r in range(16):
+            cols = np.arange(p * 64, p * 64 + 64)
+            rows_l.append(np.full(len(cols), p * 16 + r))
+            cols_l.append(cols)
+    from sddmm_tpu.data.sparse import COO
+    rows = np.concatenate(rows_l); cols = np.concatenate(cols_l)
+    csr = COO((96, 4096), rows, cols,
+              np.ones(len(rows), np.float32)).to_csr()
+    packed = pack(csr, BSMR(0.3, 0.0, csr, method="none"))
+    # padding must stay bounded: < 3x the real cells
+    real_cells = csr.nnz - packed.nnz_res
+    total_cells = packed.packed_size - packed.nnz_res
+    assert total_cells < 3 * real_cells, (total_cells, real_cells)
