@@ -117,3 +117,86 @@ class SparseFactorizationModel:
                  **kwargs) -> "SparseFactorizationModel":
         bsmr = BSMR(alpha, delta, csr)
         return SparseFactorizationModel(pack(csr, bsmr), k, **kwargs)
+
+
+class DistributedSparseFactorizationModel:
+    """Multi-chip variant: the same trainer over a ('rows', 'feat') mesh.
+
+    Uses DistributedHybridSDDMM (the sharded fast path) with the
+    packed-target loss pattern, so the training step is sharded end to
+    end — parameters K-sharded on 'feat', activations/outputs sharded on
+    'rows', no all-gather of the flat value vector (parallel/dist.py)."""
+
+    def __init__(self, packed: PackedMatrix, mesh, k: int,
+                 learning_rate: float = 1e-2,
+                 compute_dtype: str = "float32",
+                 optimizer: Optional[optax.GradientTransformation] = None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sddmm_tpu.parallel.dist import DistributedHybridSDDMM
+
+        self.packed = packed
+        self.k = k
+        self.dist = DistributedHybridSDDMM(packed, mesh,
+                                           compute_dtype=compute_dtype)
+        self.optimizer = optimizer or optax.adam(learning_rate)
+        self._param_sharding = NamedSharding(mesh, P(None, "feat"))
+
+    def init(self, rng_key) -> FactorizationParams:
+        ka, kb = jax.random.split(rng_key)
+        scale = 1.0 / np.sqrt(self.k)
+        a = jax.random.normal(ka, (self.packed.m, self.k),
+                              dtype=jnp.float32) * scale
+        bt = jax.random.normal(kb, (self.packed.n, self.k),
+                               dtype=jnp.float32) * scale
+        put = functools.partial(jax.device_put,
+                                device=self._param_sharding)
+        return FactorizationParams(put(a), put(bt))
+
+    def pack_targets(self, targets):
+        """(targets, mask) in the sharded (R, flat_local) layout."""
+        return self.dist.make_packed_targets(targets)
+
+    def loss(self, params: FactorizationParams, targets, mask):
+        a_pad = jnp.concatenate(
+            [params.a, jnp.zeros((1, self.k), params.a.dtype)])
+        bt_pad = jnp.concatenate(
+            [params.bt, jnp.zeros((1, self.k), params.bt.dtype)])
+        a_sh, bt_sh = self.dist.device_prepare(a_pad, bt_pad)
+        pred = self.dist.run_padded(a_sh, bt_sh, order="packed")
+        err = jnp.where(mask, pred - targets, 0.0) ** 2
+        return jnp.sum(err) / self.packed.nnz
+
+    def make_train_step(self):
+        opt = self.optimizer
+
+        @jax.jit
+        def train_step(params, opt_state, targets, mask):
+            loss, grads = jax.value_and_grad(self.loss)(params, targets,
+                                                        mask)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def fit(self, targets, rng_key=None, steps: int = 50):
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        params = self.init(rng_key)
+        opt_state = self.optimizer.init(params)
+        step = self.make_train_step()
+        tp, mask = self.pack_targets(targets)
+        losses = []
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, tp, mask)
+            losses.append(float(loss))
+        return params, losses
+
+    @staticmethod
+    def from_csr(csr: CSR, mesh, k: int,
+                 alpha: float = config.DEFAULT_ALPHA,
+                 delta: float = config.DEFAULT_DELTA,
+                 **kwargs) -> "DistributedSparseFactorizationModel":
+        bsmr = BSMR(alpha, delta, csr)
+        return DistributedSparseFactorizationModel(pack(csr, bsmr), mesh,
+                                                   k, **kwargs)

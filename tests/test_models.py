@@ -70,3 +70,16 @@ def test_graph_attention_matches_dense_attention():
     attn /= attn.sum(1, keepdims=True)
     want = attn @ v
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_distributed_factorization_trains():
+    from sddmm_tpu.models.factorization import (
+        DistributedSparseFactorizationModel)
+    from sddmm_tpu.parallel.mesh import make_mesh
+
+    csr = generate.block_clustered(8, 8, block_prob=0.3, seed=13)
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    model = DistributedSparseFactorizationModel.from_csr(csr, mesh, k=16)
+    params, losses = model.fit(csr.values, steps=25)
+    assert losses[-1] < losses[0] * 0.9, losses[::8]
+    assert np.isfinite(losses[-1])
