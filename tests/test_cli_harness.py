@@ -175,3 +175,34 @@ def test_hybrid_ablation_tools_and_csv(tmp_path, capsys):
     assert rows[0] == ["matrix", "bsmr", "bsmr_dense_only",
                        "bsmr_residual_only"]
     assert len(rows) == 2
+
+
+def test_fetch_suitesparse_mocked(tmp_path, monkeypatch, capsys):
+    """Network path exercised with a mocked urlretrieve: URL layout,
+    tarball extraction, cleanup (no egress in this environment)."""
+    import importlib
+    import sys as _sys
+    import tarfile
+
+    fetch = importlib.import_module("fetch_datasets")
+
+    from sddmm_tpu.data import generate, io
+
+    def fake_retrieve(url, dest):
+        assert url == "https://sparse.tamu.edu/MM/HB/tiny.tar.gz", url
+        src = tmp_path / "tiny" / "tiny.mtx"
+        src.parent.mkdir(exist_ok=True)
+        io.save_mtx(src, generate.block_clustered(4, 4, block_prob=0.4,
+                                                  seed=1))
+        with tarfile.open(dest, "w:gz") as t:
+            t.add(src, arcname="tiny/tiny.mtx")
+
+    monkeypatch.setattr(fetch.urllib.request, "urlretrieve",
+                        fake_retrieve)
+    out = tmp_path / "got"
+    fetch.fetch_suitesparse(["HB/tiny"], out)
+    assert (out / "tiny" / "tiny.mtx").exists()
+    assert not list(out.glob("*.tar.gz"))  # tarball cleaned up
+    # malformed name is skipped with a message, not an exception
+    fetch.fetch_suitesparse(["noslash"], out)
+    assert "skip" in capsys.readouterr().err
