@@ -39,6 +39,13 @@ def main(argv=None):
                    help="subset of: csr dense bsmr bsmr_dense_only "
                    "bsmr_residual_only")
     p.add_argument("--validate", action="store_true")
+    p.add_argument("--alphas", type=float, nargs="+",
+                   default=[0.1, 0.3, 0.5])
+    p.add_argument("--deltas", type=float, nargs="+",
+                   default=[0.0, 0.05, 0.3])
+    p.add_argument("--merged-only", action="store_true",
+                   help="only consider merge_superpanels=True packings "
+                   "(halves host-side tuning cost)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -66,8 +73,11 @@ def main(argv=None):
 
     for path in files:
         csr = io.load(path)
-        tuned_by_k = (autotune_multi(csr, args.ks,
-                                     compute_dtype=args.compute_dtype)
+        tuned_by_k = (autotune_multi(
+            csr, args.ks, alphas=tuple(args.alphas),
+            deltas=tuple(args.deltas),
+            merges=(True,) if args.merged_only else (False, True),
+            compute_dtype=args.compute_dtype)
                       if "bsmr" in args.tools else {})
         for k in args.ks:
             a = generate.make_dense(csr.m, k, seed=1)

@@ -243,6 +243,7 @@ def _candidate_layouts(n: int, k: int, compute_dtype: str):
 def autotune_multi(csr: CSR, ks: Sequence[int],
                    alphas: Sequence[float] = (0.1, 0.3, 0.5),
                    deltas: Sequence[float] = (0.0, 0.05, 0.3),
+                   merges: Sequence[bool] = (False, True),
                    compute_dtype: str = "tf32",
                    method: str = "auto",
                    measure: bool = False,
@@ -286,7 +287,7 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
             bsmr.row_reordering_ms = base.row_reordering_ms
             for delta in deltas:
                 bsmr.run_col_reordering(csr, delta=delta)
-                for merge in (False, True):
+                for merge in merges:
                     packed = pack(csr, bsmr, merge_superpanels=merge,
                                   compute_dtype=compute_dtype)
                     packs.append((alpha, g, delta, merge, packed,
