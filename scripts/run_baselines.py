@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--merged-only", action="store_true",
                    help="only consider merge_superpanels=True packings "
                    "(halves host-side tuning cost)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip (matrix, K) cells whose log already has "
+                   "every requested tool (crash/tunnel-outage recovery)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -71,7 +74,20 @@ def main(argv=None):
 
     from sddmm_tpu.reorder.autotune import autotune_multi
 
+    def cell_done(path, k):
+        out = args.log_dir / f"{path.stem}_k{k}.log"
+        if not out.exists():
+            return False
+        text = out.read_text()
+        return all(f"[{t}_gflops : " in text or f"[{t}_check" in text
+                   or (t == "bsmr" and "[bsmr_sddmm : " in text
+                       and "[bsmr_sddmm : 0.0]" not in text)
+                   for t in args.tools)
+
     for path in files:
+        if args.resume and all(cell_done(path, k) for k in args.ks):
+            print(f"{path.stem}: all Ks done, skipping")
+            continue
         csr = io.load(path)
         tuned_by_k = (autotune_multi(
             csr, args.ks, alphas=tuple(args.alphas),
@@ -80,6 +96,9 @@ def main(argv=None):
             compute_dtype=args.compute_dtype)
                       if "bsmr" in args.tools else {})
         for k in args.ks:
+            if args.resume and cell_done(path, k):
+                print(f"{path.stem} K={k}: done, skipping")
+                continue
             a = generate.make_dense(csr.m, k, seed=1)
             b = generate.make_dense(k, csr.n, seed=2)
             log = RunLog(input_file=str(path), k=k, tile_k=k)
