@@ -175,6 +175,13 @@ def main(argv=None):
                 a_pad, bt_phys = runner.prepare_operands(a, b=b)
                 ms = runner.measure_kernel_ms(a_pad, bt_phys,
                                               iterations=20)
+                # tunnel jitter can produce a degenerate (too small)
+                # loop difference; anything implying > 10 TFLOPS on this
+                # HBM-bound op is implausible — re-measure and keep the
+                # conservative (slower) reading
+                if 2 * csr.nnz * k / ms / 1e6 > 10000:
+                    ms = max(ms, runner.measure_kernel_ms(
+                        a_pad, bt_phys, iterations=40, repeats=6))
                 log.sddmm_time_ms = ms
                 log.num_clusters = tuned.bsmr.num_clusters
                 log.row_reordering_ms = tuned.bsmr.row_reordering_ms
