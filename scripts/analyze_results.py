@@ -35,7 +35,11 @@ def collect(log_dir: Path, k: int):
     """-> {matrix: {tool: gflops}} from all logs under log_dir."""
     table = defaultdict(dict)
     for path in sorted(log_dir.rglob("*.log")):
-        entries = parse_log(path.read_text())
+        entries = parse_log(path.read_text(),
+                            prefer_nonzero=("_gflops", "Reordering",
+                                            "numClusters",
+                                            "numDenseBlock",
+                                            "averageDensity"))
         if not entries or "File" not in entries:
             continue
         if int(float(entries.get("K", 0))) != k:

@@ -177,11 +177,12 @@ def main(argv=None):
                                               iterations=20)
                 # tunnel jitter can produce a degenerate (too small)
                 # loop difference; anything implying > 10 TFLOPS on this
-                # HBM-bound op is implausible — re-measure and keep the
-                # conservative (slower) reading
+                # HBM-bound op is implausible — re-measure with a much
+                # longer loop (the difference then dwarfs the jitter)
+                # and keep the conservative (slower) reading
                 if 2 * csr.nnz * k / ms / 1e6 > 10000:
                     ms = max(ms, runner.measure_kernel_ms(
-                        a_pad, bt_phys, iterations=40, repeats=6))
+                        a_pad, bt_phys, iterations=200, repeats=5))
                 log.sddmm_time_ms = ms
                 log.num_clusters = tuned.bsmr.num_clusters
                 log.row_reordering_ms = tuned.bsmr.row_reordering_ms

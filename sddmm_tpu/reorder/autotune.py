@@ -321,6 +321,7 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
 def autotune(csr: CSR, k: int = 128,
              alphas: Sequence[float] = (0.1, 0.3, 0.5),
              deltas: Sequence[float] = (0.0, 0.05, 0.3),
+             merges: Sequence[bool] = (False, True),
              compute_dtype: str = "tf32",
              method: str = "auto",
              measure: bool = False,
@@ -329,7 +330,7 @@ def autotune(csr: CSR, k: int = 128,
              verbose: bool = False) -> TunedConfig:
     """Single-K convenience wrapper over autotune_multi."""
     return autotune_multi(
-        csr, (k,), alphas=alphas, deltas=deltas,
+        csr, (k,), alphas=alphas, deltas=deltas, merges=merges,
         compute_dtype=compute_dtype, method=method, measure=measure,
         measure_top=measure_top, measure_iterations=measure_iterations,
         verbose=verbose)[k]

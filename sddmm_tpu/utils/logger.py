@@ -145,9 +145,21 @@ class RunLog:
         return text
 
 
-def parse_log(text: str) -> dict:
+def parse_log(text: str, prefer_nonzero: tuple = ()) -> dict:
     """Parse ``[key : value]`` lines back into a dict (analyze-results
-    compatible)."""
+    compatible).  Duplicate keys are last-wins, except keys ending with
+    a suffix in ``prefer_nonzero``: there a non-zero value is never
+    overwritten by a later zero placeholder (merged multi-pass logs
+    emit ``[bsmr_gflops : 0.0]`` schema lines in passes that did not
+    run that tool)."""
+    def keep_old(key, old_val, new_val):
+        if not any(key.endswith(sfx) for sfx in prefer_nonzero):
+            return False
+        try:
+            return float(old_val) != 0.0 and float(new_val) == 0.0
+        except ValueError:
+            return False
+
     result = {}
     for line in text.splitlines():
         segment = line
@@ -157,9 +169,13 @@ def parse_log(text: str) -> dict:
             body = segment[start + 1:end]
             if " : " in body:
                 key, val = body.split(" : ", 1)
-                result[key.strip()] = val.strip()
             elif ": " in body:
                 key, val = body.split(": ", 1)
-                result[key.strip()] = val.strip()
+            else:
+                key = None
+            if key is not None:
+                key, val = key.strip(), val.strip()
+                if not (key in result and keep_old(key, result[key], val)):
+                    result[key] = val
             segment = segment[end + 1:]
     return result
