@@ -18,7 +18,8 @@ import time
 
 import numpy as np
 
-REFERENCE_MEAN_GFLOPS_K128 = 3452.0  # BASELINE.md, RTX 4090, 503 matrices
+# BASELINE.md: reference means over its 503-matrix suite, RTX 4090
+REFERENCE_MEAN_GFLOPS = {32: 2158.0, 64: 2966.0, 128: 3452.0, 256: 3460.0}
 
 
 def suite(quick: bool):
@@ -142,7 +143,8 @@ def main():
         "metric": f"hybrid_sddmm_geomean_gflops_k{args.k}",
         "value": round(geomean, 1),
         "unit": "GFLOPS",
-        "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS_K128, 3),
+        "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS.get(
+            args.k, 3452.0), 3),
         "per_matrix": {k: round(v, 1) for k, v in results.items()},
         "sol_fraction": sols,
         "speedup_vs_csr_same_chip": csr_ratio,
