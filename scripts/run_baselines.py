@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--merged-only", action="store_true",
                    help="only consider merge_superpanels=True packings "
                    "(halves host-side tuning cost)")
+    p.add_argument("--measure", action="store_true",
+                   help="on-device shootout between the cost model's top "
+                   "candidates per K (slower; bench.py methodology)")
     p.add_argument("--resume", action="store_true",
                    help="skip (matrix, K) cells whose log already has "
                    "every requested tool (crash/tunnel-outage recovery)")
@@ -93,7 +96,9 @@ def main(argv=None):
             csr, args.ks, alphas=tuple(args.alphas),
             deltas=tuple(args.deltas),
             merges=(True,) if args.merged_only else (False, True),
-            compute_dtype=args.compute_dtype)
+            compute_dtype=args.compute_dtype,
+            measure=args.measure, measure_top=1,
+            measure_iterations=20)
                       if "bsmr" in args.tools else {})
         for k in args.ks:
             if args.resume and cell_done(path, k):
