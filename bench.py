@@ -3,23 +3,41 @@
 Headline: geometric-mean hybrid BSMR SDDMM throughput (GFLOPS =
 2*NNZ*K/time) at K=128 over a 4-matrix suite spanning the regimes the
 reference's 503-matrix SuiteSparse suite covers (fine block structure,
-coarse block structure, power-law graph, banded).  Per matrix the packing
-configuration is chosen by the cost-model autotuner — the same thing the
-reference's alpha/delta sweep mode does empirically (src/sddmm.cu:62-118).
+coarse block structure, power-law graph, banded).
+
+Reproducibility contract (round 3): per-matrix configs come from the
+committed ``results/tuned_configs.json`` (the best measured shootout
+winners — the analogue of the reference's fixed Options defaults), so
+two runs of ``python bench.py`` execute the identical program; the
+kernel is then timed in ``--sessions`` independent loop-differenced
+sessions and the **median** session is reported, with the min/median/max
+spread in the JSON and a loud warning when spread > 15% (the axon-tunnel
+chip rate was observed to swing 2x between runs hours apart —
+docs/performance.md "Timing methodology").  ``--retune`` re-runs the
+on-device autotune shootout instead (src/sddmm.cu:62-118 analogue).
 
 ``vs_baseline`` compares against the reference's published mean K=128
 GFLOPS over its SuiteSparse suite on an RTX 4090 (3452, BASELINE.md).
+``per_matrix_csr_order`` reports the apples-to-apples number whose
+kernel time *includes* delivering values in CSR entry order (the
+reference's kernels write matrixP[csrIdx] directly,
+src/sddmmKernel.cu:213-355); the headline stays packed-order — the
+framework's native layout — with both visible.
 """
 
 import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 # BASELINE.md: reference means over its 503-matrix suite, RTX 4090
 REFERENCE_MEAN_GFLOPS = {32: 2158.0, 64: 2966.0, 128: 3452.0, 256: 3460.0}
+
+TUNED_CONFIGS = Path(__file__).resolve().parent / "results" / \
+    "tuned_configs.json"
 
 
 def suite(quick: bool):
@@ -46,14 +64,45 @@ def suite(quick: bool):
     }
 
 
+def load_tuned_config(name: str, k: int):
+    try:
+        data = json.loads(TUNED_CONFIGS.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    return data.get(f"k{k}", {}).get(name)
+
+
+def sol_ms_of(packed, k: int, compute_dtype: str) -> float:
+    """Speed-of-light floor: minimum HBM bytes this packing must move —
+    UNIQUE gathered B rows and A rows (repeated descriptors can be
+    served on-chip) + one pass of the packed output — at the measured
+    stream bandwidth."""
+    from sddmm_tpu.reorder.autotune import _ELEM_BYTES
+    a_el, b_el = _ELEM_BYTES[compute_dtype]
+    uniq_gids = len(np.unique(np.concatenate([
+        packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
+        packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1),
+        packed.res_gids.reshape(-1)])))
+    uniq_rows = min(packed.m, packed.num_panels * 16)
+    sol_bytes = (uniq_gids * packed.group_size * b_el
+                 + uniq_rows * a_el) * k + packed.packed_size * 4
+    return sol_bytes / 856e6
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="small matrices (CI/CPU-friendly)")
     parser.add_argument("--k", type=int, default=128)
-    parser.add_argument("--iterations", type=int, default=30)
+    parser.add_argument("--iterations", type=int, default=40)
+    parser.add_argument("--sessions", type=int, default=3,
+                        help="independent timing sessions; median wins")
+    parser.add_argument("--retune", action="store_true",
+                        help="re-run the on-device autotune shootout "
+                             "instead of the committed tuned configs")
     parser.add_argument("--compute-dtype", default="tf32",
-                        choices=["float32", "tf32", "mixed", "float16", "bfloat16"])
+                        choices=["float32", "tf32", "mixed", "float16",
+                                 "bfloat16"])
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -63,41 +112,86 @@ def main():
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
     from sddmm_tpu.ops.hybrid import HybridSDDMM
-    from sddmm_tpu.utils.timing import measure_loop_ms
-    from sddmm_tpu.reorder.autotune import autotune
-    from sddmm_tpu.utils.timing import gflops
+    from sddmm_tpu.utils.timing import gflops, measure_loop_ms
+    from sddmm_tpu.reorder.autotune import autotune, from_params
 
     def log(msg):
         if args.verbose:
             print(msg, file=sys.stderr)
 
+    on_device = jax.devices()[0].platform != "cpu"
     results = {}
+    results_csr_order = {}
     sols = {}
     csr_ratio = {}
+    sessions_ms = {}
+    tuning_s = {}
+    warnings = []
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
-        measure = jax.devices()[0].platform != "cpu"
-        tuned = autotune(csr, k=args.k, compute_dtype=args.compute_dtype,
-                         measure=measure)
+        cfg = None if args.retune else load_tuned_config(name, args.k)
+        if cfg is not None:
+            tuned = from_params(
+                csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
+                group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
+                merge_superpanels=cfg.get("merge", True),
+                hub_cols=cfg.get("hub", 0),
+                compute_dtype=args.compute_dtype)
+        else:
+            tuned = autotune(csr, k=args.k,
+                             compute_dtype=args.compute_dtype,
+                             measure=on_device)
+        tuning_s[name] = round(time.perf_counter() - t0, 1)
         packed = tuned.packed
         runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
                              k_chunks=tuned.k_chunks)
         a = generate.make_dense(csr.m, args.k, seed=1)
         b = generate.make_dense(args.k, csr.n, seed=2)
         a_pad, bt_pad = runner.prepare_operands(a, b=b)
-        # min over many repeats: tunnel dispatch jitter is additive, so
-        # the minimum converges to the true kernel time.
-        ms = runner.measure_kernel_ms(
-            a_pad, bt_pad, iterations=max(args.iterations, 40),
-            repeats=6, order="packed")
-        # Dispatch noise through the tunnel is strictly additive, so the
-        # best estimate of true kernel time is the min over all samples
-        # of this config — including the autotune shootout's.
-        if tuned.measured_ms:
-            ms = min(ms, tuned.measured_ms)
+        sol_ms = sol_ms_of(packed, args.k, args.compute_dtype)
+
+        # Independent timing sessions; each is a loop-differenced min
+        # (dispatch noise is additive within a session), the median
+        # across sessions rejects chip-rate swings between sessions.
+        n_sessions = 1 if args.quick else max(args.sessions, 1)
+        sess = []
+        for s in range(n_sessions):
+            ms_s = runner.measure_kernel_ms(
+                a_pad, bt_pad, iterations=args.iterations,
+                repeats=4, order="packed")
+            if ms_s < 0.7 * sol_ms:
+                # faster than the matrix's own minimum-bytes floor:
+                # a degenerate loop-difference sample — remeasure once
+                ms_r = runner.measure_kernel_ms(
+                    a_pad, bt_pad, iterations=args.iterations,
+                    repeats=4, order="packed")
+                if ms_r >= 0.7 * sol_ms:
+                    ms_s = ms_r
+                else:
+                    warnings.append(
+                        f"{name}: session {s} below SoL floor "
+                        f"({ms_s:.4f} ms < 0.7*{sol_ms:.4f} ms)")
+            sess.append(ms_s)
+        ms = float(np.median(sess))
+        spread = (max(sess) - min(sess)) / ms if ms > 0 else 0.0
+        if spread > 0.15:
+            warnings.append(
+                f"{name}: timing spread {spread:.0%} across "
+                f"{n_sessions} sessions ({[round(x, 4) for x in sess]})"
+                " — tunnel/chip load variance; treat with caution")
+        sessions_ms[name] = [round(x, 4) for x in sess]
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
+        sols[name] = round(sol_ms / ms, 3)
+
+        # CSR-entry-order delivery (includes the packed->CSR conversion,
+        # matching the reference's output convention).
+        ms_csr = runner.measure_kernel_ms(
+            a_pad, bt_pad, iterations=max(args.iterations // 2, 10),
+            repeats=3, order="csr")
+        results_csr_order[name] = gflops(csr.nnz, args.k, ms_csr)
+
         # Same-chip csr gather-dot baseline (the cuSPARSE-equivalent):
         # measures algorithmic speedup independent of hardware.
         a_d = jnp.asarray(a)
@@ -113,44 +207,42 @@ def main():
                                  iterations=15)
         csr_ratio[name] = round(csr_ms / ms, 2)
 
-        # Speed-of-light: minimum HBM bytes this packing must move —
-        # UNIQUE gathered B rows and A rows (repeated descriptors can be
-        # served on-chip) + one pass of the packed output — at the
-        # measured stream bandwidth.
-        from sddmm_tpu.reorder.autotune import _ELEM_BYTES
-        a_el, b_el = _ELEM_BYTES[args.compute_dtype]
-        uniq_gids = len(np.unique(np.concatenate([
-            packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
-            packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1),
-            packed.res_gids.reshape(-1)])))
-        uniq_rows = min(packed.m, packed.num_panels * 16)
-        sol_bytes = (uniq_gids * packed.group_size * b_el
-                     + uniq_rows * a_el) * args.k \
-            + packed.packed_size * 4
-        sol_ms = sol_bytes / 856e6
-        sols[name] = round(sol_ms / ms, 3)
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
-            f"G={tuned.group_size} C={tuned.k_chunks} "
-            f"merge={tuned.merge_superpanels}) nS={packed.num_super} "
-            f"nQ={packed.num_quads} nP={packed.num_pairs} "
-            f"nG={packed.num_groups} res={packed.nnz_res} "
-            f"est={tuned.est_ms:.3f}ms meas={ms:.3f}ms gflops={g:.0f} "
+            f"G={tuned.group_size} C={tuned.k_chunks} H={tuned.hub_cols} "
+            f"merge={tuned.merge_superpanels}"
+            f"{' [committed]' if cfg is not None else ' [retuned]'}) "
+            f"nS={packed.num_super} nQ={packed.num_quads} "
+            f"nP={packed.num_pairs} nG={packed.num_groups} "
+            f"res={packed.nnz_res} sessions={sessions_ms[name]} "
+            f"median={ms:.4f}ms gflops={g:.0f} "
+            f"csr_order={results_csr_order[name]:.0f} "
             f"({time.perf_counter() - t0:.0f}s total)")
 
     geomean = float(np.exp(np.mean(np.log(np.maximum(
         list(results.values()), 1e-9)))))
-    print(json.dumps({
+    out = {
         "metric": f"hybrid_sddmm_geomean_gflops_k{args.k}",
         "value": round(geomean, 1),
         "unit": "GFLOPS",
         "vs_baseline": round(geomean / REFERENCE_MEAN_GFLOPS.get(
             args.k, 3452.0), 3),
         "per_matrix": {k: round(v, 1) for k, v in results.items()},
+        "per_matrix_csr_order": {k: round(v, 1)
+                                 for k, v in results_csr_order.items()},
+        "geomean_csr_order": round(float(np.exp(np.mean(np.log(np.maximum(
+            list(results_csr_order.values()), 1e-9))))), 1),
         "sol_fraction": sols,
         "speedup_vs_csr_same_chip": csr_ratio,
         "geomean_vs_csr": round(float(np.exp(np.mean(np.log(
             np.maximum(list(csr_ratio.values()), 1e-9))))), 2),
-    }))
+        "timing_sessions_ms": sessions_ms,
+        "tuning_s": tuning_s,
+    }
+    if warnings:
+        out["warnings"] = warnings
+        for w in warnings:
+            print(f"WARNING: {w}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

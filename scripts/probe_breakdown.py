@@ -210,10 +210,15 @@ def main(argv=None) -> int:
                                          axis=0).astype(jnp.float32))
         return tot
 
+    def report(name, ms):
+        print(f"  {name:18s} {ms:8.3f} ms   "
+              f"({gflops(csr.nnz, args.k, ms):7.1f} GFLOPS-equiv)",
+              flush=True)
+
     it = args.iterations
-    full_ms = runner.measure_kernel_ms(a_pad, bt_phys, iterations=it,
-                                       repeats=5)
-    rows = [("full_hybrid", full_ms)]
+    report("full_hybrid",
+           runner.measure_kernel_ms(a_pad, bt_phys, iterations=it,
+                                    repeats=5))
     for name, body in (("dense_path", body_dense),
                        ("b_gather", body_b_gather),
                        ("a_gather", body_a_gather),
@@ -227,10 +232,7 @@ def main(argv=None) -> int:
         else:
             ms = measure_loop_ms(body, (a_pad, bt_phys), iterations=it,
                                  repeats=4)
-        rows.append((name, ms))
-    for name, ms in rows:
-        print(f"  {name:18s} {ms:8.3f} ms   "
-              f"({gflops(csr.nnz, args.k, ms):7.1f} GFLOPS-equiv)")
+        report(name, ms)
     return 0
 
 

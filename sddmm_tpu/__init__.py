@@ -17,8 +17,8 @@ Layer map (TPU-first, not a port):
   src/sddmmKernel.cu, include/cuSparseSDDMM.cuh).
 - ``sddmm_tpu.parallel`` — multi-chip sharding of the hybrid SDDMM over a
   ``jax.sharding.Mesh`` (new capability; the reference is single-GPU).
-- ``sddmm_tpu.models``   — model families built on the ops: graph attention
-  and block-sparse transformer attention.
+- ``sddmm_tpu.models``   — model families built on the ops: sparse matrix
+  factorization (ALS-style training) and graph attention.
 - ``sddmm_tpu.utils``    — logger ([key : value] format compatible with the
   reference's analyze_results schema), timing, tolerance checks, options.
 - ``sddmm_tpu.native``   — optional C++ (OpenMP) host preprocessing

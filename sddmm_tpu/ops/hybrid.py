@@ -122,13 +122,14 @@ def _dot3(a_c, bg, dimension_numbers):
                    static_argnames=("compute_dtype", "g", "kc",
                                     "pallas_dots", "super_buckets",
                                     "quad_buckets", "pair_buckets",
-                                    "group_buckets"))
+                                    "group_buckets", "h"))
 def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                        quad_gids, pair_rows, pair_gids, group_rows,
                        group_gids, res_rows, res_gids, res_member,
+                       hub_start=None,
                        compute_dtype="tf32", g=1, kc=0, pallas_dots=False,
                        super_buckets=(), quad_buckets=(), pair_buckets=(),
-                       group_buckets=()):
+                       group_buckets=(), h=0):
     """Hybrid SDDMM producing the *packed-order* flat value vector
     [supertiles ++ quads ++ pairs ++ groups ++ residual] in the run-major
     bucketed layout (reorder/pack.py) — the framework's native layout.
@@ -158,8 +159,9 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
     dnums = ((((2,), (2,)), ((0,), (0,))) if g == 1
              else (((2,), (3,)), ((0,), (0,))))
 
-    def dot(a_c, bg):
-        if pallas_dots and compute_dtype == "tf32" and g == 1:
+    def dot(a_c, bg, dnums=dnums, allow_pallas=True):
+        if (allow_pallas and pallas_dots and compute_dtype == "tf32"
+                and g == 1):
             from sddmm_tpu.ops.pallas_tiles import tile_dot_padded
             return tile_dot_padded(a_c, bg)
         if compute_dtype == "float16":
@@ -216,6 +218,33 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                                            axis=2)
                 acc = acc + dot(a_c, bg)
             segments.append(acc.reshape(-1))
+
+    # Dense hub slab: the leading h column ranks are computed as one
+    # plain MXU matmul per K-chunk against a *contiguous* slice of the
+    # grouped B^T layout — zero gather descriptors (reorder/pack.py
+    # "Dense hub slab"; cols.hub_first_rank).  hub_start is an
+    # always-zero runtime scalar: routing the slice start through it
+    # keeps the slab loop-body-resident under the timing harness
+    # (a constant slice of loop-invariant operands would be hoisted).
+    if h:
+        hg = h // g
+        m_rows = a_pad.shape[0] - 1
+        a_real = jax.lax.slice_in_dim(a_pad, 0, m_rows, axis=0)
+        start = (hub_start.astype(jnp.int32) if hub_start is not None
+                 else jnp.int32(0))
+        dn_h = ((((1,), (1,)), ((), ())) if g == 1
+                else (((1,), (2,)), ((), ())))
+        acc_h = jnp.zeros((m_rows, h) if g == 1 else (m_rows, hg, g),
+                          jnp.float32)
+        for c in range(C):
+            bhub = jax.lax.dynamic_slice_in_dim(bt_phys[c], start, hg,
+                                                axis=0)
+            if g > 1:
+                bhub = bhub.reshape(hg, g, kc)
+            a_c = jax.lax.slice_in_dim(a_real, c * kc, (c + 1) * kc,
+                                       axis=1)
+            acc_h = acc_h + dot(a_c, bhub, dn_h, allow_pallas=False)
+        segments.append(acc_h.reshape(-1))
 
     # Residual: fetch the entry's column group, select member lane via a
     # one-hot contraction (take_along_axis lowers to a per-element gather
@@ -434,13 +463,15 @@ class HybridSDDMM:
             self._pair_rows, self._pair_gids,
             self._group_rows, self._group_gids,
             self._res_rows, self._res_gids, self._res_member,
+            hub_start=(jnp.int32(0) if self.packed.hub_cols else None),
             compute_dtype=self.compute_dtype,
             g=self.packed.group_size, kc=kc,
             pallas_dots=self.use_pallas,
             super_buckets=self.packed.super_buckets,
             quad_buckets=self.packed.quad_buckets,
             pair_buckets=self.packed.pair_buckets,
-            group_buckets=self.packed.group_buckets)
+            group_buckets=self.packed.group_buckets,
+            h=self.packed.hub_cols)
         if order == "packed":
             return flat
         if order == "csr":
@@ -487,13 +518,16 @@ class HybridSDDMM:
                     mask(self._group_rows), mask(self._group_gids),
                     mask(self._res_rows), mask(self._res_gids),
                     mask(self._res_member),
+                    hub_start=(jnp.where(live, jnp.int32(0), jnp.int32(1))
+                               if self.packed.hub_cols else None),
                     compute_dtype=self.compute_dtype,
                     g=self.packed.group_size, kc=kc,
                     pallas_dots=self.use_pallas,
                     super_buckets=self.packed.super_buckets,
                     quad_buckets=self.packed.quad_buckets,
                     pair_buckets=self.packed.pair_buckets,
-                    group_buckets=self.packed.group_buckets)
+                    group_buckets=self.packed.group_buckets,
+                    h=self.packed.hub_cols)
                 if order == "csr":
                     flat = self.to_csr_order(flat)
                 return jnp.sum(flat) * jnp.float32(1e-38)

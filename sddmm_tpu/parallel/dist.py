@@ -209,6 +209,20 @@ class _ShardPlan:
             self.res_member[d, j] = rm[i]
             res_dest[d, j] = rc[i]
             fill[d] += 1
+
+        # Dense hub slab: per-device (rows_max, H) block computed from the
+        # device's panel-local A rows (kernel order: families ++ slab ++
+        # residual).
+        H = packed.hub_cols
+        if H:
+            slab_dest = np.full((R, self.rows_max * H), packed.nnz,
+                                dtype=np.int64)
+            hr = packed.hub_rows.astype(np.int64)
+            hd = dev_of_win[np.maximum(panel_of_row[hr], 0) // 8]
+            hs = local_of_row[hr]
+            slab_dest[hd, hs * H + packed.hub_rank.astype(np.int64)] = \
+                packed.hub_csr.astype(np.int64)
+            dest_parts.append(slab_dest)
         dest_parts.append(res_dest)
 
         # per-device flat layout: [family segments ++ residual]

@@ -156,6 +156,7 @@ class TunedConfig:
     packed: PackedMatrix
     bsmr: BSMR
     measured_ms: Optional[float] = None
+    hub_cols: int = 0
 
 
 def estimate_ms(packed: PackedMatrix, k: int,
@@ -193,25 +194,34 @@ def estimate_ms(packed: PackedMatrix, k: int,
     # Streaming: the dot re-reads the gathered operands and writes tiles;
     # residual elementwise + reduce.
     from sddmm_tpu.reorder.pack import PAIR_CELLS, QUAD_CELLS
+    H = packed.hub_cols
     cells = (packed.num_super * SUPER_CELLS
              + packed.num_quads * QUAD_CELLS
              + packed.num_pairs * PAIR_CELLS
              + packed.num_groups * GROUP_CELLS)
     gathered = (n_tiles * GROUP_LANES * k * b_el + a_rows * k * a_el) \
         + nR * (k * a_el + G * k * b_el)
-    stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4
+    # Hub slab: contiguous B-slice + A re-read + slab write, all at
+    # stream bandwidth (no descriptors).
+    slab_bytes = (H * k * b_el + packed.m * k * a_el * min(C, 1)
+                  + packed.m * H * 4) if H else 0
+    stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4 + slab_bytes
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
 
     # MXU.
+    rate128 = _DOT_G16_MS.get((compute_dtype, 128), 54.0e6)
     t_mxu = (packed.num_groups / _DOT_G16_MS.get((compute_dtype, 16),
                                                  11.5e6)
              + packed.num_pairs * 2 / _DOT_G16_MS.get((compute_dtype, 32),
                                                       66.0e6)
              + packed.num_quads * 4 / _DOT_G16_MS.get((compute_dtype, 64),
                                                       99.0e6)
-             + packed.num_super * 8 / _DOT_G16_MS.get((compute_dtype, 128),
-                                                      54.0e6)) \
+             + packed.num_super * 8 / rate128) \
         * 1e3 * (k / 128.0)
+    if H:
+        # slab = (m, K) x (K, H) matmul: (m/16)*(H/128) 16-row groups
+        t_mxu += (packed.m / 16.0) * (H / 128.0) / rate128 \
+            * 1e3 * (k / 128.0)
 
     t_gather = t_b + t_a + t_r
     # Gathers and streaming barely overlap; the MXU overlaps with gathers.
@@ -240,6 +250,43 @@ def _candidate_layouts(n: int, k: int, compute_dtype: str):
     return sorted(gs), sorted(cs)
 
 
+def hub_candidates(csr: CSR, k: int, compute_dtype: str = "tf32",
+                   cell_cap: int = 32_000_000) -> list:
+    """Hub-slab widths worth trying for this matrix: the largest H
+    (multiple of 128) such that even the H-th-degree column still saves
+    more gather-descriptor time than its slab column costs (one m-row
+    MXU lane strip + the slab write), capped so the slab stays a
+    bounded fraction of the packed output.  Returns [] when no column
+    clears the bar (block-structured matrices)."""
+    a_el, b_el = _ELEM_BYTES[compute_dtype]
+    deg = np.sort(np.bincount(csr.col_idx, minlength=csr.n))[::-1]
+    m_eff = int(np.count_nonzero(csr.row_nnz())) or 1
+    num_panels = max(-(-m_eff // 16), 1)
+    rate128 = _DOT_G16_MS.get((compute_dtype, 128), 54.0e6)
+    # ns per slab column: write m cells + the (m x K) x (K x 1) MXU strip
+    slab_ns = (m_eff * 4 / (STREAM_GBPS)
+               + (m_eff / 16.0) * (k / 128.0) / 128.0 / rate128 * 1e9)
+    # ns saved per hub column: one descriptor per panel it appears in
+    desc_ns = 1e9 / _row_rate(max(k * b_el, 1), 8.0)
+    save_ns = np.minimum(deg, num_panels) * desc_ns
+    profitable = save_ns > slab_ns
+    h_star = int(np.count_nonzero(profitable))
+    h_star = min(h_star, cell_cap // max(csr.m, 1), csr.n)
+    h_star = (h_star // 128) * 128
+    if h_star <= 0:
+        return []
+    # the per-column model undercounts second-order wins (smaller dense
+    # lists shrink tiles below chunk boundaries), so 2*h_star is also
+    # worth a try; the est ranking / shootout arbitrates
+    out = [h_star]
+    if h_star >= 512:
+        out.append(h_star // 2 // 128 * 128)
+    twice = min(2 * h_star, cell_cap // max(csr.m, 1), csr.n) // 128 * 128
+    if twice > h_star:
+        out.append(twice)
+    return out
+
+
 def autotune_multi(csr: CSR, ks: Sequence[int],
                    alphas: Sequence[float] = (0.1, 0.3, 0.5),
                    deltas: Sequence[float] = (0.0, 0.05, 0.3),
@@ -264,51 +311,62 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
 
     layouts = {k: _candidate_layouts(csr.n, k, compute_dtype) for k in ks}
     all_gs = sorted({g for k in ks for g in layouts[k][0]})
-    col_rank_cache: dict[float, np.ndarray] = {}  # keyed by alpha
-    packs: list[tuple] = []   # (alpha, g, delta, merge, packed, bsmr)
+    col_order_cache: dict[float, np.ndarray] = {}  # keyed by alpha
+    packs: list[tuple] = []  # (alpha, g, delta, merge, hub, packed, bsmr)
+    hubs_all = sorted({h for k in ks
+                       for h in hub_candidates(csr, k, compute_dtype)})
 
+    from sddmm_tpu.reorder.cols import cluster_columns, hub_first_rank
     for alpha in alphas:
         base = BSMR(alpha, 0.0, csr, method=method, compute=False)
         base.run_row_reordering(csr)
         for g in all_gs:
-            if g > 1 and alpha not in col_rank_cache:
-                from sddmm_tpu.reorder.cols import cluster_columns
-                order = cluster_columns(csr, alpha, method=method)
-                rank = np.empty(csr.n, dtype=np.int64)
-                rank[order] = np.arange(csr.n)
-                col_rank_cache[alpha] = rank
-            bsmr = BSMR(alpha, 0.0, csr, method=method, compute=False,
-                        group_size=g,
-                        col_rank=(col_rank_cache.get(alpha)
-                                  if g > 1 else None))
-            bsmr.reordered_rows = base.reordered_rows
-            bsmr.cluster_ids = base.cluster_ids
-            bsmr.num_clusters = base.num_clusters
-            bsmr.row_reordering_ms = base.row_reordering_ms
-            for delta in deltas:
-                bsmr.run_col_reordering(csr, delta=delta)
-                for merge in merges:
-                    packed = pack(csr, bsmr, merge_superpanels=merge,
-                                  compute_dtype=compute_dtype)
-                    packs.append((alpha, g, delta, merge, packed,
-                                  copy.copy(bsmr)))
+            if g > 1 and alpha not in col_order_cache:
+                col_order_cache[alpha] = cluster_columns(csr, alpha,
+                                                         method=method)
+            base_order = col_order_cache.get(alpha) if g > 1 else None
+            for hc in [0] + [h for h in hubs_all if h % g == 0]:
+                if hc > 0:
+                    rank = hub_first_rank(csr, hc, base_order=base_order)
+                elif base_order is not None:
+                    rank = np.empty(csr.n, dtype=np.int64)
+                    rank[base_order] = np.arange(csr.n)
+                else:
+                    rank = None
+                bsmr = BSMR(alpha, 0.0, csr, method=method, compute=False,
+                            group_size=g, col_rank=rank, hub_cols=hc)
+                bsmr.reordered_rows = base.reordered_rows
+                bsmr.cluster_ids = base.cluster_ids
+                bsmr.num_clusters = base.num_clusters
+                bsmr.row_reordering_ms = base.row_reordering_ms
+                # hub slab + superpanel merging interact weakly; halve
+                # the hub pack count by fixing merge=True there
+                merges_hc = merges if hc == 0 else (True,)
+                for delta in deltas:
+                    bsmr.run_col_reordering(csr, delta=delta)
+                    for merge in merges_hc:
+                        packed = pack(csr, bsmr, merge_superpanels=merge,
+                                      compute_dtype=compute_dtype)
+                        packs.append((alpha, g, delta, merge, hc, packed,
+                                      copy.copy(bsmr)))
 
     out = {}
     for k in ks:
         gs_k, cs_k = layouts[k]
         candidates: list[TunedConfig] = []
-        for (alpha, g, delta, merge, packed, bsmr) in packs:
+        for (alpha, g, delta, merge, hc, packed, bsmr) in packs:
             if g not in gs_k:
                 continue
             for c in cs_k:
                 est = estimate_ms(packed, k, compute_dtype, c)
                 if verbose:
                     print(f"  k={k} a={alpha} d={delta} G={g} C={c} "
-                          f"merge={merge}: nS={packed.num_super} "
+                          f"merge={merge} H={hc}: nS={packed.num_super} "
                           f"nG={packed.num_groups} "
                           f"res={packed.nnz_res} est={est:.3f}ms")
                 candidates.append(TunedConfig(
-                    alpha, delta, merge, g, c, est, packed, bsmr))
+                    alpha, delta, merge, g, c, est, packed, bsmr,
+                    hub_cols=hc))
         candidates.sort(key=lambda t: t.est_ms)
         if not measure:
             out[k] = candidates[0]
@@ -316,6 +374,37 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
         out[k] = _shootout(csr, k, candidates, compute_dtype,
                            measure_top, measure_iterations, verbose)
     return out
+
+
+def from_params(csr: CSR, k: int, alpha: float, delta: float,
+                group_size: int = 1, k_chunks: int = 1,
+                merge_superpanels: bool = True,
+                compute_dtype: str = "tf32",
+                method: str = "auto",
+                hub_cols: int = 0) -> TunedConfig:
+    """Build a TunedConfig for an explicit (alpha, delta, G, C, merge)
+    choice — the deterministic path bench.py uses with the committed
+    per-matrix configs (results/tuned_configs.json), mirroring the
+    reference's fixed Options defaults (include/Options.hpp:38-41)."""
+    rank = None
+    base_order = None
+    if group_size > 1:
+        from sddmm_tpu.reorder.cols import cluster_columns
+        base_order = cluster_columns(csr, alpha, method=method)
+    if hub_cols > 0:
+        from sddmm_tpu.reorder.cols import hub_first_rank
+        rank = hub_first_rank(csr, hub_cols, base_order=base_order)
+    elif base_order is not None:
+        rank = np.empty(csr.n, dtype=np.int64)
+        rank[base_order] = np.arange(csr.n)
+    bsmr = BSMR(alpha, delta, csr, method=method, group_size=group_size,
+                col_rank=rank, hub_cols=hub_cols)
+    packed = pack(csr, bsmr, k_hint=k, merge_superpanels=merge_superpanels,
+                  compute_dtype=compute_dtype)
+    return TunedConfig(alpha, delta, merge_superpanels, group_size,
+                       k_chunks, estimate_ms(packed, k, compute_dtype,
+                                             k_chunks), packed, bsmr,
+                       hub_cols=hub_cols)
 
 
 def autotune(csr: CSR, k: int = 128,
@@ -350,7 +439,8 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     seen_delta: set = set()
     seen_alpha: set = set()
     for cand in candidates:
-        cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks)
+        cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks,
+               cand.hub_cols)
         take_it = (len(finalists) < measure_top or cls not in seen_cls
                    or cand.delta not in seen_delta
                    or cand.alpha not in seen_alpha)

@@ -28,12 +28,18 @@ class BSMR:
                  group_size: int = 1,
                  col_rank: Optional[np.ndarray] = None,
                  cluster_cols: bool = False,
+                 hub_cols: int = 0,
                  compute: bool = True):
         self.alpha = float(alpha)
         self.delta = float(delta)
         self._method = method
         self._col_block_size = col_block_size
         self.group_size = int(group_size)
+        self.hub_cols = int(hub_cols)
+        if self.hub_cols > 0 and col_rank is None:
+            # hub slab requires the hub-first column layout
+            from sddmm_tpu.reorder.cols import hub_first_rank
+            col_rank = hub_first_rank(csr, self.hub_cols)
         if col_rank is None and cluster_cols:
             from sddmm_tpu.reorder.cols import cluster_columns
             t0 = time.perf_counter()
@@ -80,7 +86,8 @@ class BSMR:
         t0 = time.perf_counter()
         cc = col_reordering(csr, self.reordered_rows, self.delta,
                             col_rank=self.col_rank,
-                            group_size=self.group_size)
+                            group_size=self.group_size,
+                            hub_cols=self.hub_cols)
         self.col_reordering_ms = (time.perf_counter() - t0) * 1e3
         self.num_row_panels = cc.num_row_panels
         self.dense_cols = cc.dense_cols

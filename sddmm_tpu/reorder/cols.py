@@ -63,10 +63,39 @@ def cluster_columns(csr: CSR, alpha: float = 0.3,
     return np.concatenate([ordered, missing])
 
 
+def hub_first_rank(csr: CSR, hub_count: int,
+                   base_order: Optional[np.ndarray] = None) -> np.ndarray:
+    """Column rank with the ``hub_count`` highest-degree columns first
+    (degree descending, column id tiebreak) and the rest in
+    ``base_order`` (a cluster order, or identity) order.
+
+    This is the column layout contract of the *dense hub slab* (pack.py):
+    the leading ``hub_count`` ranks are computed by one plain MXU matmul
+    against a contiguous slice of the grouped B^T layout — zero gather
+    descriptors — which is what makes scattered high-degree columns
+    (power-law hubs, pruned-ML dense columns) cheap on TPU.  New design
+    surface; the reference has no counterpart (its GPU L2 makes repeated
+    hub-column fetches free, src/sddmmKernel.cu:213-355)."""
+    n = csr.n
+    hub_count = int(min(hub_count, n))
+    deg = np.bincount(csr.col_idx, minlength=n)
+    hubs = np.lexsort((np.arange(n), -deg))[:hub_count]
+    if base_order is None:
+        base_order = np.arange(n, dtype=np.int64)
+    is_hub = np.zeros(n, dtype=bool)
+    is_hub[hubs] = True
+    rest = base_order[~is_hub[base_order]]
+    order = np.concatenate([hubs, rest])
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    return rank
+
+
 def col_reordering(csr: CSR, reordered_rows: np.ndarray,
                    delta: float = config.DEFAULT_DELTA,
                    col_rank: Optional[np.ndarray] = None,
-                   group_size: int = 1) -> ColReorderResult:
+                   group_size: int = 1,
+                   hub_cols: int = 0) -> ColReorderResult:
     """Per-panel dense/sparse split.
 
     Default (group_size=1, no col_rank): the reference-faithful per-column
@@ -79,12 +108,15 @@ def col_reordering(csr: CSR, reordered_rows: np.ndarray,
     lexsort, and segment arithmetic — no per-panel Python loop (the
     reference parallelizes the same loop with OpenMP,
     src/colReordering.cu:292)."""
+    if hub_cols > 0 and col_rank is None:
+        raise ValueError("hub_cols requires a hub-first col_rank "
+                         "(cols.hub_first_rank)")
     if group_size > 1 or col_rank is not None:
         if col_rank is None:
             col_rank = np.arange(csr.n, dtype=np.int64)
         return _grouped_col_reordering(csr, reordered_rows, delta,
                                        np.asarray(col_rank, dtype=np.int64),
-                                       int(group_size))
+                                       int(group_size), int(hub_cols))
     panel = config.ROW_PANEL_SIZE
     bcol = config.BLOCK_COL_SIZE
     n = csr.n
@@ -163,8 +195,13 @@ def col_reordering(csr: CSR, reordered_rows: np.ndarray,
 
 def _grouped_col_reordering(csr: CSR, reordered_rows: np.ndarray,
                             delta: float, col_rank: np.ndarray,
-                            group_size: int) -> ColReorderResult:
-    """Group-granular dense/sparse split (see col_reordering docstring)."""
+                            group_size: int,
+                            hub_cols: int = 0) -> ColReorderResult:
+    """Group-granular dense/sparse split (see col_reordering docstring).
+
+    Columns with rank < ``hub_cols`` are excluded from both the dense and
+    sparse lists: they are covered by the dense hub slab (pack.py), not
+    by tiles or residual."""
     panel = config.ROW_PANEL_SIZE
     G = group_size
     n = csr.n
@@ -194,6 +231,10 @@ def _grouped_col_reordering(csr: CSR, reordered_rows: np.ndarray,
     keep = entry_panel >= 0
     e_panel = entry_panel[keep]
     e_col = csr.col_idx[keep].astype(np.int64)
+    if hub_cols > 0:
+        nonhub = col_rank[e_col] >= hub_cols
+        e_panel = e_panel[nonhub]
+        e_col = e_col[nonhub]
     e_grp = col_rank[e_col] // G
 
     # (panel, group) histogram.

@@ -184,20 +184,34 @@ class PackedMatrix:
     quad_run_cont: np.ndarray = None
     pair_run_cont: np.ndarray = None
     group_run_cont: np.ndarray = None
+    # Dense hub slab: the leading hub_cols ranks of the column order are
+    # computed as ONE plain (m, K) x (K, H) MXU matmul against a
+    # contiguous slice of the grouped B^T layout — zero gather
+    # descriptors (cols.hub_first_rank).  Slab slot of an entry is
+    # row * H + rank; slab cells that are not nnz are padding.
+    hub_cols: int = 0        # H (0 = no slab)
+    hub_rows: np.ndarray = None   # (nnz_hub,) original row ids
+    hub_rank: np.ndarray = None   # (nnz_hub,) column rank = slab lane
+    hub_csr: np.ndarray = None    # (nnz_hub,) CSR value index
 
     @property
     def packed_size(self) -> int:
         return (self.num_super * SUPER_CELLS + self.num_quads * QUAD_CELLS
                 + self.num_pairs * PAIR_CELLS
-                + self.num_groups * GROUP_CELLS + self.nnz_res)
+                + self.num_groups * GROUP_CELLS
+                + self.m * self.hub_cols + self.nnz_res)
 
     @property
     def nnz_dense(self) -> int:
-        return self.nnz - len(self.res_rows)
+        return self.nnz - self.nnz_res - self.nnz_hub
 
     @property
     def nnz_res(self) -> int:
         return int(len(self.res_rows))
+
+    @property
+    def nnz_hub(self) -> int:
+        return int(len(self.hub_rows)) if self.hub_rows is not None else 0
 
     @property
     def average_block_density(self) -> float:
@@ -253,6 +267,15 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     num_panels = bsmr.num_row_panels
     col_idx = csr.col_idx
     NG = (n + G - 1) // G if G > 1 else n
+    H = int(getattr(bsmr, "hub_cols", 0))
+    if H:
+        if bsmr.col_rank is None:
+            raise ValueError(
+                "hub_cols requires a hub-first col_rank "
+                "(cols.hub_first_rank / BSMR(hub_cols=...))")
+        if H % G or H > NG * G:
+            raise ValueError(f"hub_cols={H} must be a multiple of "
+                             f"group_size={G} and <= {NG * G}")
 
     # Physical column layout: slot g*G+j holds the column with rank g*G+j.
     if G == 1 and bsmr.col_rank is None:
@@ -375,6 +398,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     local_e = np.where(er >= 0, er % panel_sz, 0)
     entry_gid = gid_of(col_idx.astype(np.int64))
     entry_member = member_of(col_idx.astype(np.int64))
+    # Hub entries (rank < H) are covered by the dense slab, never by
+    # tiles (cols.py excludes hub groups from dense lists) or residual.
+    hub_e = (entry_gid < H // G if H
+             else np.zeros(csr.nnz, dtype=bool))
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
     def chunks_of(cid: int) -> int:
@@ -433,7 +460,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         if len(tk):
             j = np.minimum(np.searchsorted(tk, ckeys), len(tk) - 1)
             covered = (tk[j] == ckeys) & (cont_e >= 0)
-        miss = (~covered) & (cont_e >= 0)
+        miss = (~covered) & (cont_e >= 0) & ~hub_e
         uk, ucnt = np.unique(ckeys[miss], return_counts=True)
         u_cont = uk // (NG + 1)
         u_gid = uk % (NG + 1)
@@ -607,24 +634,36 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         sel = matched & (fam_e == f)
         csr_arr[tile_e[sel], local_row[sel], lane_m[sel]] = entry_idx[sel]
 
-    rest = ~matched
+    if np.any(matched & hub_e):
+        raise AssertionError("hub column matched a dense tile "
+                             "(cols.py must exclude hub groups)")
+    rest = ~matched & ~hub_e
     res_rows = entry_rows[rest]
     res_cols = col_idx[rest].astype(np.int64)
     res_gids_arr = entry_gid[rest]
     res_member_arr = entry_member[rest]
     res_csr = entry_idx[rest]
 
+    # Dense hub slab entries: slot = slab_base + row * H + rank.
+    hub_rows_arr = entry_rows[hub_e]
+    hub_rank_arr = (entry_gid[hub_e] * G + entry_member[hub_e])
+    hub_csr_arr = entry_idx[hub_e]
+    slab_base = dense_slots
+    res_base = dense_slots + m * H
+
     # Inverse permutation: CSR entry -> packed slot.
     inv_idx = np.full(csr.nnz, -1, dtype=np.int64)
     inv_idx[entry_idx[matched]] = slot[matched]
-    inv_idx[res_csr] = dense_slots + np.arange(len(res_csr), dtype=np.int64)
+    inv_idx[hub_csr_arr] = slab_base + hub_rows_arr * np.int64(H) \
+        + hub_rank_arr
+    inv_idx[res_csr] = res_base + np.arange(len(res_csr), dtype=np.int64)
     if np.any(inv_idx < 0):
         missing = int(np.count_nonzero(inv_idx < 0))
         raise AssertionError(
             f"packing lost {missing} CSR entries (invariant violation)")
 
     # Packed-order metadata, scattered through the run-major slot map.
-    F = dense_slots + len(res_csr)
+    F = res_base + len(res_csr)
     packed_rows = np.full(F, m, dtype=np.int64)
     packed_cols = np.full(F, n, dtype=np.int64)
     for f, csr_arr, rows_arr, cols_arr in (
@@ -646,8 +685,11 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                                                    m).reshape(-1)
         packed_cols[slots3.reshape(-1)] = np.where(valid3, slot_cols,
                                                    n).reshape(-1)
-    packed_rows[dense_slots:] = res_rows
-    packed_cols[dense_slots:] = res_cols
+    if H:
+        packed_rows[inv_idx[hub_csr_arr]] = hub_rows_arr
+        packed_cols[inv_idx[hub_csr_arr]] = col_idx[hub_e]
+    packed_rows[res_base:] = res_rows
+    packed_cols[res_base:] = res_cols
     csr_dest = np.full(F, -1, dtype=np.int64)
     csr_dest[inv_idx] = np.arange(csr.nnz)
     spill = csr_dest < 0
@@ -689,6 +731,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         res_gids=res_gids_arr.astype(np.int32),
         res_member=res_member_arr.astype(np.int32),
         res_csr=res_csr,
+        hub_cols=H,
+        hub_rows=hub_rows_arr, hub_rank=hub_rank_arr, hub_csr=hub_csr_arr,
         inv_idx=inv_idx,
         packed_rows=packed_rows.astype(np.int32),
         packed_cols=packed_cols.astype(np.int32),

@@ -85,12 +85,15 @@ def _check_grouped_col_reordering(csr: CSR, bsmr: BSMR) -> None:
     n = csr.n
     rank = (bsmr.col_rank if bsmr.col_rank is not None
             else np.arange(n, dtype=np.int64))
+    hub = int(getattr(bsmr, "hub_cols", 0))
     threshold = max(int(math.ceil(bsmr.delta * panel_sz * G)), 1)
     for p in range(bsmr.num_row_panels):
         rows = bsmr.reordered_rows[p * panel_sz:(p + 1) * panel_sz]
         cols = np.concatenate(
             [csr.col_idx[csr.row_ptr[r]:csr.row_ptr[r + 1]] for r in rows]
         ) if len(rows) else np.zeros(0, dtype=np.int64)
+        if hub:  # hub columns are slab-covered, not split
+            cols = cols[rank[cols] >= hub]
         uniq, counts = np.unique(cols, return_counts=True)
         grp_count: dict[int, int] = {}
         for c, cnt in zip(uniq.tolist(), counts.tolist()):
@@ -129,9 +132,11 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     qflat = packed.quad_csr.reshape(-1)
     pflat = packed.pair_csr.reshape(-1)
     gflat = packed.group_csr.reshape(-1)
+    hub_csr = (packed.hub_csr if packed.hub_csr is not None
+               else np.zeros(0, dtype=np.int64))
     all_idx = np.concatenate(
         [sflat[sflat >= 0], qflat[qflat >= 0], pflat[pflat >= 0],
-         gflat[gflat >= 0], packed.res_csr])
+         gflat[gflat >= 0], hub_csr, packed.res_csr])
     assert len(all_idx) == csr.nnz, \
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
@@ -156,6 +161,21 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
         "residual row mismatch"
     assert np.array_equal(csr.col_idx[packed.res_csr], packed.res_cols), \
         "residual col mismatch"
+
+    # Hub-slab consistency: every hub entry's column has rank < H and
+    # its slab slot is row * H + rank.
+    if packed.hub_cols:
+        H = packed.hub_cols
+        rank = bsmr.col_rank
+        assert rank is not None, "hub slab without col_rank"
+        assert np.array_equal(rows_of[packed.hub_csr], packed.hub_rows), \
+            "hub row mismatch"
+        assert np.array_equal(rank[csr.col_idx[packed.hub_csr]],
+                              packed.hub_rank), "hub rank mismatch"
+        assert np.all(packed.hub_rank < H), "hub rank >= hub_cols"
+        # every entry whose column ranks < H is a hub entry
+        assert int(np.count_nonzero(rank[csr.col_idx] < H)) == \
+            len(packed.hub_csr), "hub entry set incomplete"
 
     # Packed metadata consistency: real slots carry (row, col); padding
     # slots carry sentinels; csr_dest inverts inv_idx.
