@@ -103,7 +103,7 @@ def main(argv=None) -> int:
     # -- batched tile-dot rates ----------------------------------------
     dn = (((2,), (2,)), ((0,), (0,)))
     dot = {}
-    for dtype_name in ("tf32", "bfloat16"):
+    for dtype_name in ("tf32", "bfloat16", "float32"):
         prec = _PRECISION[dtype_name]
         dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         for m in (16, 32, 64, 128):

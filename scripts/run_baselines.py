@@ -87,6 +87,7 @@ def main(argv=None):
                        and "[bsmr_sddmm : 0.0]" not in text)
                    for t in args.tools)
 
+    written: set = set()  # logs first-written by this invocation
     for path in files:
         if args.resume and all(cell_done(path, k) for k in args.ks):
             print(f"{path.stem}: all Ks done, skipping")
@@ -203,9 +204,13 @@ def main(argv=None):
             text = log.print_log()
             for key, val in extra.items():
                 text += f"[{key} : {val}]\n"
-            # append so separate tool passes over the same matrix/K
-            # merge in analyze_results.collect
-            with open(out, "a") as fh:
+            # Append so separate tool passes over the same matrix/K merge
+            # (analyze_results.collect); without --resume, the first
+            # write of this invocation truncates any stale log so
+            # re-runs don't grow files unboundedly.
+            mode = "a" if (args.resume or out in written) else "w"
+            written.add(out)
+            with open(out, mode) as fh:
                 fh.write(text)
             summary = " ".join(f"{t}={extra.get(t + '_gflops', 0):.0f}"
                                for t in ("csr", "dense")

@@ -158,21 +158,40 @@ class _ShardPlan:
                 seg_rows = np.full((R, n_max * b, rows_h), self.rows_max,
                                    dtype=np.int64)
                 seg_gids = np.full((R, n_max * b, LG), NG, dtype=np.int64)
-                seg_dest = np.full((R, n_max * rows_h * b * GROUP_LANES),
+                run_cells = rows_h * b * GROUP_LANES
+                seg_dest = np.full((R, n_max * run_cells),
                                    packed.nnz, dtype=np.int64)
-                for d in range(R):
-                    for j, t0 in enumerate(dev_runs[b][d]):
-                        tiles = slice(t0, t0 + b)
-                        rloc = local_of_row[rows_arr[t0]]
-                        # all b tiles of a run share the same rows
-                        seg_rows[d, j * b:(j + 1) * b] = rloc[None, :]
-                        seg_gids[d, j * b:(j + 1) * b] = gids_arr[tiles]
-                        # run-major cells: (rows_h, b, 128)
-                        cells = csr_arr[tiles].transpose(1, 0, 2)
-                        cells = np.where(cells >= 0, cells, packed.nnz)
-                        seg_dest[d, j * rows_h * b * GROUP_LANES:
-                                 (j + 1) * rows_h * b * GROUP_LANES] = \
-                            cells.reshape(-1)
+                # flatten (device, run) pairs and assign all runs at once
+                d_arr = np.repeat(
+                    np.arange(R, dtype=np.int64),
+                    [len(dev_runs[b][d]) for d in range(R)])
+                t0_arr = np.concatenate(
+                    [np.asarray(dev_runs[b][d], dtype=np.int64)
+                     for d in range(R)]) if len(d_arr) else \
+                    np.zeros(0, dtype=np.int64)
+                j_arr = np.concatenate(
+                    [np.arange(len(dev_runs[b][d]), dtype=np.int64)
+                     for d in range(R)]) if len(d_arr) else \
+                    np.zeros(0, dtype=np.int64)
+                if len(d_arr):
+                    nrb = len(d_arr)
+                    tile_src = (t0_arr[:, None]
+                                + np.arange(b, dtype=np.int64)).reshape(-1)
+                    d_rep = np.repeat(d_arr, b)
+                    slot = (j_arr[:, None] * b
+                            + np.arange(b, dtype=np.int64)).reshape(-1)
+                    # all b tiles of a run share the same rows
+                    rloc = local_of_row[rows_arr[t0_arr]]  # (nrb, rows_h)
+                    seg_rows[d_rep, slot] = np.repeat(rloc, b, axis=0)
+                    seg_gids[d_rep, slot] = gids_arr[tile_src]
+                    # run-major cells: (rows_h, b, 128) per run
+                    cells = csr_arr[tile_src].reshape(
+                        nrb, b, rows_h, GROUP_LANES).transpose(0, 2, 1, 3)
+                    cells = np.where(cells >= 0, cells, packed.nnz)
+                    seg_dest[d_arr[:, None],
+                             j_arr[:, None] * run_cells
+                             + np.arange(run_cells, dtype=np.int64)] = \
+                        cells.reshape(nrb, run_cells)
                 t_rows_l.append(seg_rows)
                 t_gids_l.append(seg_gids)
                 dest_parts.append(seg_dest)
@@ -188,27 +207,29 @@ class _ShardPlan:
                 self.tile_gids[fname] = np.full((R, 0, LG), NG,
                                                 dtype=np.int64)
 
-        # residual per device (local row ids)
+        # residual per device (local row ids) — vectorized: stable-sort by
+        # device, then each entry's slot is its rank within its device.
         res_dev = np.where(res_panel >= 0, dev_of_win[res_win], 0)
-        nR_max = max(int(np.bincount(res_dev, minlength=R).max())
-                     if len(res_dev) else 0, 1)
+        counts_r = np.bincount(res_dev, minlength=R)
+        nR_max = max(int(counts_r.max()) if len(res_dev) else 0, 1)
         self.res_rows = np.full((R, nR_max), self.rows_max, dtype=np.int64)
         self.res_gids = np.full((R, nR_max), NG, dtype=np.int64)
         self.res_member = np.zeros((R, nR_max), dtype=np.int64)
         res_dest = np.full((R, nR_max), packed.nnz, dtype=np.int64)
-        fill = np.zeros(R, dtype=np.int64)
         rr = packed.res_rows.astype(np.int64)
         rg = packed.res_gids.astype(np.int64)
         rm = packed.res_member.astype(np.int64)
         rc = packed.res_csr.astype(np.int64)
-        for i in range(len(rr)):
-            d = res_dev[i]
-            j = fill[d]
-            self.res_rows[d, j] = local_of_row[rr[i]]
-            self.res_gids[d, j] = rg[i]
-            self.res_member[d, j] = rm[i]
-            res_dest[d, j] = rc[i]
-            fill[d] += 1
+        if len(rr):
+            order_r = np.argsort(res_dev, kind="stable")
+            d_s = res_dev[order_r]
+            starts = np.zeros(R, dtype=np.int64)
+            np.cumsum(counts_r[:-1], out=starts[1:])
+            j_s = np.arange(len(rr), dtype=np.int64) - starts[d_s]
+            self.res_rows[d_s, j_s] = local_of_row[rr[order_r]]
+            self.res_gids[d_s, j_s] = rg[order_r]
+            self.res_member[d_s, j_s] = rm[order_r]
+            res_dest[d_s, j_s] = rc[order_r]
 
         # Dense hub slab: per-device (rows_max, H) block computed from the
         # device's panel-local A rows (kernel order: families ++ slab ++
@@ -364,10 +385,13 @@ class DistributedHybridSDDMM:
                 a_loc[0], bt_loc, s_rows[0], s_gids[0], q_rows[0],
                 q_gids[0], p_rows[0], p_gids[0], g_rows[0], g_gids[0],
                 r_rows[0], r_gids[0], r_member[0],
+                hub_start=(jnp.int32(0) if self.packed.hub_cols
+                           else None),
                 compute_dtype=compute_dtype,
                 g=self.packed.group_size, kc=kc,
                 super_buckets=lb["super"], quad_buckets=lb["quad"],
-                pair_buckets=lb["pair"], group_buckets=lb["group"])
+                pair_buckets=lb["pair"], group_buckets=lb["group"],
+                h=self.packed.hub_cols)
             return jax.lax.psum(flat, "feat")[None]
 
         spec2 = P("rows", None)

@@ -112,3 +112,87 @@ def test_packed_targets_training_pattern(packed_small):
     vals = np.asarray(dist.run_padded(a_sh, bt_sh, order="csr"))
     loss_csr = float(((vals - csr.values) ** 2).sum()) / csr.nnz
     assert abs(loss_packed - loss_csr) < 1e-6 * max(loss_csr, 1.0)
+
+
+def test_distributed_grouped_chunked_hub():
+    """Grouped (G=4), K-chunked (C=2), hub-slab (H=64) packing through
+    the distributed path: exercises the res_member one-hot, gid layout,
+    bt chunk sharding, and the per-device slab segment (ADVICE r2)."""
+    from sddmm_tpu.reorder.cols import cluster_columns, hub_first_rank
+
+    csr = generate.powerlaw_graph(256, avg_degree=10, seed=21)
+    order = cluster_columns(csr, 0.3)
+    rank = hub_first_rank(csr, 64, base_order=order)
+    bsmr = BSMR(0.3, 0.05, csr, group_size=4, col_rank=rank, hub_cols=64)
+    packed = pack(csr, bsmr)
+    assert packed.hub_cols == 64 and packed.nnz_hub > 0
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    dist = DistributedHybridSDDMM(packed, mesh, k_chunks=2)
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    got = np.asarray(dist(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, res
+
+
+def test_distributed_scale_mixed_families():
+    """VERDICT r2 #8: a >=1M-nnz matrix exercising multiple tile
+    families, >=3 bucket segments, and residual spread on the 8-device
+    mesh — asserting device balance (max/mean <= 1.3), a fast vectorized
+    shard-plan build, and correctness."""
+    import time
+
+    from sddmm_tpu.data.sparse import COO
+    from sddmm_tpu.parallel.dist import _ShardPlan
+
+    parts = [
+        generate.block_clustered(32, 64, group_rows=128, group_cols=128,
+                                 block_prob=0.05, block_density=0.4,
+                                 noise_density=1e-5, seed=31),
+        generate.block_clustered(256, 512, block_prob=0.01,
+                                 block_density=0.65, noise_density=1e-5,
+                                 seed=32),
+        generate.banded(4096, 8192, bandwidth=60, fill=0.5, seed=33),
+    ]
+    n = 8192
+    off, rows_l, cols_l = 0, [], []
+    for p in parts:
+        assert p.n == n
+        rows_l.append(p.row_indices().astype(np.int64) + off)
+        cols_l.append(p.col_idx.astype(np.int64))
+        off += p.m
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    csr = COO((off, n), rows, cols,
+              np.ones(len(rows), dtype=np.float32)).sorted_by_row().to_csr()
+    assert csr.nnz >= 1_000_000
+
+    bsmr = BSMR(0.3, 0.05, csr)
+    packed = pack(csr, bsmr)
+    n_buckets = (len(packed.super_buckets) + len(packed.quad_buckets)
+                 + len(packed.pair_buckets) + len(packed.group_buckets))
+    assert n_buckets >= 3, "wanted >=3 bucket segments"
+    assert packed.num_super > 0, "coarse structure should form supertiles"
+    assert (packed.num_quads + packed.num_pairs + packed.num_groups) > 0
+    assert packed.nnz_res > 0, "noise should leave residual entries"
+
+    t0 = time.perf_counter()
+    plan = _ShardPlan(packed, 8)
+    plan_s = time.perf_counter() - t0
+    assert plan_s < 2.0, f"shard plan build took {plan_s:.2f}s (>2s)"
+
+    mesh = make_mesh((8, 1), ("rows", "feat"))
+    dist = DistributedHybridSDDMM(packed, mesh)
+    balance = dist.tile_balance().astype(np.float64)
+    assert balance.sum() == csr.nnz
+    assert balance.max() / balance.mean() <= 1.3, balance
+
+    k = 16
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    got = np.asarray(dist(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, res
