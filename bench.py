@@ -130,7 +130,10 @@ def main():
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
-        cfg = None if args.retune else load_tuned_config(name, args.k)
+        # --quick uses different (tiny) matrices, so the committed
+        # full-suite configs don't apply there
+        cfg = (None if (args.retune or args.quick)
+               else load_tuned_config(name, args.k))
         if cfg is not None:
             tuned = from_params(
                 csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
@@ -138,6 +141,7 @@ def main():
                 merge_superpanels=cfg.get("merge", True),
                 hub_cols=cfg.get("hub", 0),
                 compute_dtype=args.compute_dtype)
+            tuned.use_pallas = bool(cfg.get("pallas", False))
         else:
             tuned = autotune(csr, k=args.k,
                              compute_dtype=args.compute_dtype,
@@ -145,7 +149,9 @@ def main():
         tuning_s[name] = round(time.perf_counter() - t0, 1)
         packed = tuned.packed
         runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
-                             k_chunks=tuned.k_chunks)
+                             k_chunks=tuned.k_chunks,
+                             use_pallas=getattr(tuned, "use_pallas",
+                                                False))
         a = generate.make_dense(csr.m, args.k, seed=1)
         b = generate.make_dense(args.k, csr.n, seed=2)
         a_pad, bt_pad = runner.prepare_operands(a, b=b)

@@ -87,6 +87,22 @@ def corpus():
         "banded_plus_random": lambda: g.banded(12288, 12288,
                                                bandwidth=24, fill=0.4,
                                                seed=172),
+        # adversarial regimes (round 3, VERDICT #5: egress is blocked —
+        # results/egress_proof_r3.md — so the synthetic corpus hardens
+        # instead): extreme aspect ratios and hypersparse + dense-row/col
+        # mixtures (the SuiteSparse "bus row / boundary condition" shape)
+        "tall16x": lambda: g.block_clustered(
+            2048, 128, block_prob=0.02, block_density=0.5,
+            noise_density=1e-5, seed=181),
+        "wide16x": lambda: g.block_clustered(
+            128, 2048, block_prob=0.02, block_density=0.5,
+            noise_density=1e-5, seed=182),
+        "hypersparse_hubs": lambda: g.hypersparse_dense_mix(
+            32768, 32768, density=3e-5, num_dense_rows=24,
+            num_dense_cols=24, dense_fill=0.35, seed=183),
+        "hypersparse_pure": lambda: g.hypersparse_dense_mix(
+            49152, 49152, density=4e-4, num_dense_rows=0,
+            num_dense_cols=0, seed=184),
     }
 
 

@@ -112,3 +112,39 @@ def block_clustered(num_row_groups: int, num_col_groups: int,
     rows, cols = rows[uniq], cols[uniq]
     vals = rng.random(len(rows)).astype(dtype)
     return COO((m, n), rows, cols, vals).to_csr(dtype=dtype)
+
+
+def hypersparse_dense_mix(m: int, n: int, density: float = 5e-5,
+                          num_dense_rows: int = 32,
+                          num_dense_cols: int = 32,
+                          dense_fill: float = 0.4, seed: int = 0,
+                          dtype=np.float32) -> CSR:
+    """Hypersparse uniform background plus a handful of dense rows and
+    dense columns — the adversarial "scattered + hubs" regime common in
+    real SuiteSparse matrices (boundary conditions, bus rows).  The
+    dense columns are exactly what the hub-slab path (reorder/pack.py)
+    targets; the dense rows stress per-panel column splits."""
+    rng = np.random.default_rng(seed)
+    rows_l, cols_l = [], []
+    background = int(m * n * density)
+    if background:
+        flat = rng.choice(m * n, size=background, replace=False)
+        rows_l.append(flat // n)
+        cols_l.append(flat % n)
+    dr = rng.choice(m, size=min(num_dense_rows, m), replace=False)
+    for r in dr:
+        cc = np.nonzero(rng.random(n) < dense_fill)[0]
+        rows_l.append(np.full(len(cc), r, dtype=np.int64))
+        cols_l.append(cc)
+    dc = rng.choice(n, size=min(num_dense_cols, n), replace=False)
+    for c in dc:
+        rr = np.nonzero(rng.random(m) < dense_fill)[0]
+        rows_l.append(rr)
+        cols_l.append(np.full(len(rr), c, dtype=np.int64))
+    rows = np.concatenate(rows_l).astype(np.int64)
+    cols = np.concatenate(cols_l).astype(np.int64)
+    keys = rows * n + cols
+    _, uniq = np.unique(keys, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    vals = rng.random(len(rows)).astype(dtype)
+    return COO((m, n), rows, cols, vals).to_csr(dtype=dtype)

@@ -157,6 +157,7 @@ class TunedConfig:
     bsmr: BSMR
     measured_ms: Optional[float] = None
     hub_cols: int = 0
+    use_pallas: bool = False
 
 
 def estimate_ms(packed: PackedMatrix, k: int,
@@ -271,8 +272,12 @@ def hub_candidates(csr: CSR, k: int, compute_dtype: str = "tf32",
     save_ns = np.minimum(deg, num_panels) * desc_ns
     profitable = save_ns > slab_ns
     h_star = int(np.count_nonzero(profitable))
-    h_star = min(h_star, cell_cap // max(csr.m, 1), csr.n)
-    h_star = (h_star // 128) * 128
+    if h_star <= 0:
+        return []
+    # round UP to the 128-lane MXU granularity (a few very dense columns
+    # still deserve a minimum-width slab; the ride-along lanes are cheap)
+    h_star = min(-(-h_star // 128) * 128, cell_cap // max(csr.m, 1),
+                 csr.n // 128 * 128)
     if h_star <= 0:
         return []
     # the per-column model undercounts second-order wins (smaller dense
@@ -452,6 +457,15 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
         if len(finalists) >= measure_top + 6:
             break
 
+    # Pallas on trial (VERDICT r2 #6): the manual 3-pass MXU tile-dot
+    # kernel enters the shootout as a twin of the model's top tf32
+    # candidate; measurement decides whether it ever wins.
+    if compute_dtype == "tf32" and finalists and \
+            finalists[0].group_size == 1 and not finalists[0].hub_cols:
+        twin = copy.copy(finalists[0])
+        twin.use_pallas = True
+        finalists.append(twin)
+
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     a = generate.make_dense(csr.m, k, seed=1)
@@ -459,7 +473,8 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     out = []
     for cand in finalists:
         runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
-                             k_chunks=cand.k_chunks)
+                             k_chunks=cand.k_chunks,
+                             use_pallas=cand.use_pallas)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
         cand = copy.copy(cand)
         cand.measured_ms = runner.measure_kernel_ms(
@@ -468,6 +483,7 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
         if verbose:
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "
+                  f"H={cand.hub_cols} pallas={cand.use_pallas} "
                   f"merge={cand.merge_superpanels}: "
                   f"{cand.measured_ms:.3f}ms (est {cand.est_ms:.3f})")
     out.sort(key=lambda t: t.measured_ms)

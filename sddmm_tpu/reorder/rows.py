@@ -148,7 +148,8 @@ def _greedy_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
 def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
                      alpha: float, leaders_per_round: int = 32,
                      max_rounds: Optional[int] = None,
-                     bail_after: int = 48, bail_yield: float = 1.5):
+                     bail_after: int = 48, bail_yield: float = 1.5,
+                     hat_dtype=np.float64):
     """Multi-leader data-parallel approximation (see module docstring).
 
     Early bail: if after ``bail_after`` rounds the average rows clustered
@@ -162,12 +163,12 @@ def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
     # Precompute normalized encodings per row (CSR layout over blocks).
     occ = np.diff(block_ptr)
     row_of_entry = np.repeat(np.arange(num_rows_total), occ.astype(np.int64))
-    cnt = block_cnt.astype(np.float64)
-    norm_sq = np.zeros(num_rows_total, dtype=np.float64)
+    cnt = block_cnt.astype(hat_dtype)
+    norm_sq = np.zeros(num_rows_total, dtype=hat_dtype)
     np.add.at(norm_sq, row_of_entry, cnt * cnt)
-    norms = np.sqrt(np.maximum(norm_sq, 1e-300))
+    norms = np.sqrt(np.maximum(norm_sq, np.finfo(hat_dtype).tiny))
     hat = cnt / norms[row_of_entry]
-    hat_sum = np.zeros(num_rows_total, dtype=np.float64)
+    hat_sum = np.zeros(num_rows_total, dtype=hat_dtype)
     np.add.at(hat_sum, row_of_entry, hat)
 
     remaining = list(order)
@@ -195,7 +196,7 @@ def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
         leaders = live[:leaders_per_round]
         # Deduplicate leaders against earlier accepted leaders (seed-only).
         accepted = []
-        leader_dense = np.zeros((0, num_blocks))
+        leader_dense = np.zeros((0, num_blocks), dtype=hat_dtype)
         for row in leaders:
             s, e = block_ptr[row], block_ptr[row + 1]
             supp, vals = block_idx[s:e].astype(np.int64), hat[s:e]
@@ -208,7 +209,7 @@ def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
                     cluster_of[row] = num_clusters + first
                     remaining_mask[row] = False
                     continue
-            dense = np.zeros(num_blocks)
+            dense = np.zeros(num_blocks, dtype=hat_dtype)
             dense[supp] = vals
             leader_dense = np.vstack([leader_dense, dense[None, :]])
             accepted.append(row)
@@ -288,6 +289,12 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
                 order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
     elif method == "batched":
         cluster_of, num_clusters = _batched_cluster(
+            order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
+    elif method == "device":
+        # accelerator-resident multi-leader clustering (the reference
+        # runs its clustering on-GPU, src/rowReordering.cu:1027-1095)
+        from sddmm_tpu.reorder.device_cluster import batched_cluster_device
+        cluster_of, num_clusters = batched_cluster_device(
             order, block_ptr, block_idx, block_cnt, num_blocks, alpha)
     elif method == "none":
         # no clustering: identity order over non-empty rows

@@ -100,8 +100,9 @@ def test_hub_candidates_powerlaw_nonempty():
     assert all(h % 128 == 0 and h > 0 for h in cands)
 
 
-def test_hub_candidates_block_empty():
-    csr = generate.block_clustered(8, 8, block_prob=0.2, seed=8)
+def test_hub_candidates_low_degree_empty():
+    """Uniform low-degree matrices have no column worth a slab lane."""
+    csr = generate.random_sparse(8192, 8192, density=4e-4, seed=8)
     assert hub_candidates(csr, 128) == []
 
 
