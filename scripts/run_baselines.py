@@ -177,7 +177,9 @@ def main(argv=None):
                 tuned = tuned_by_k[k]
                 runner = HybridSDDMM(tuned.packed,
                                      compute_dtype=args.compute_dtype,
-                                     k_chunks=tuned.k_chunks)
+                                     k_chunks=tuned.k_chunks,
+                                     use_pallas=getattr(
+                                         tuned, "use_pallas", False))
                 a_pad, bt_phys = runner.prepare_operands(a, b=b)
                 ms = runner.measure_kernel_ms(a_pad, bt_phys,
                                               iterations=20)
@@ -190,6 +192,13 @@ def main(argv=None):
                     ms = max(ms, runner.measure_kernel_ms(
                         a_pad, bt_phys, iterations=200, repeats=5))
                 log.sddmm_time_ms = ms
+                # apples-to-apples with the reference's output
+                # convention (kernels write matrixP[csrIdx] directly):
+                # time including the packed->CSR-order delivery
+                ms_csr = runner.measure_kernel_ms(
+                    a_pad, bt_phys, iterations=10, order="csr")
+                extra["bsmr_csr_order_gflops"] = \
+                    2 * csr.nnz * k / ms_csr / 1e6
                 log.num_clusters = tuned.bsmr.num_clusters
                 log.row_reordering_ms = tuned.bsmr.row_reordering_ms
                 log.col_reordering_ms = tuned.bsmr.col_reordering_ms
