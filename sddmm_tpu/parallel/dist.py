@@ -6,10 +6,13 @@ and it shards the *same* bucketed run-major packed layout the single-chip
 kernel executes (reorder/pack.py) — not a second implementation:
 
 - **'rows' axis (data parallel over S)**: containers (packed tile runs)
-  are partitioned by their 8-panel window, contiguous windows per device,
-  balanced by packed-cell weight.  Each device holds only its panels'
-  rows of A (gathered panel-local copy, sentinel-padded) and its own
-  residual entries — per-device A/index/output memory scales ~1/R.
+  are partitioned into contiguous panel-range *units* — one unit per
+  container (containers may span any consecutive panels since the
+  cross-window DP carve, reorder/pack.py) or per run of container-less
+  panels — contiguous units per device, balanced by packed-cell weight.
+  Each device holds only its panels' rows of A (gathered panel-local
+  copy, sentinel-padded) and its own residual entries — per-device
+  A/index/output memory scales ~1/R.
 - **'feat' axis (tensor parallel over K)**: A and the grouped B^T layout
   are split into K-chunks (the same ``k_chunks`` machinery as single
   chip); each feat-device computes partial dot products over its chunks
@@ -50,14 +53,33 @@ class _ShardPlan:
         R = int(n_rows_devices)
         m = packed.m
         num_panels = packed.num_panels
-        num_windows = max((num_panels + 7) // 8, 1)
         nC = len(packed.cont_panel_off) - 1
 
-        # window of each container (containers never span windows)
-        win_of_cont = np.zeros(max(nC, 1), dtype=np.int64)
+        # Partition units over the panel axis: one unit per container
+        # (its full consecutive panel span — containers may cross old
+        # 8-panel window boundaries under the DP carve) and one unit per
+        # maximal run of container-less panels.  Unit boundaries
+        # therefore never split a container.
+        cont_of_panel = np.full(max(num_panels, 1), -1, dtype=np.int64)
         if nC:
-            win_of_cont[:nC] = (
-                packed.cont_panel_ids[packed.cont_panel_off[:-1]] // 8)
+            cont_of_panel[packed.cont_panel_ids.astype(np.int64)] = \
+                np.repeat(np.arange(nC, dtype=np.int64),
+                          np.diff(packed.cont_panel_off).astype(np.int64))
+        starts = np.ones(max(num_panels, 1), dtype=bool)
+        if num_panels > 1:
+            starts[1:num_panels] = ~(
+                (cont_of_panel[1:num_panels]
+                 == cont_of_panel[:num_panels - 1])
+                | ((cont_of_panel[1:num_panels] < 0)
+                   & (cont_of_panel[:num_panels - 1] < 0)))
+        unit_of_panel = np.cumsum(starts) - 1
+        num_units = int(unit_of_panel[num_panels - 1]) + 1 \
+            if num_panels else 1
+        unit_of_cont = np.zeros(max(nC, 1), dtype=np.int64)
+        if nC:
+            unit_of_cont[:nC] = unit_of_panel[
+                packed.cont_panel_ids[packed.cont_panel_off[:-1]]
+                .astype(np.int64)]
 
         # panel of each original row (sentinel row m -> -1)
         panel_of_row = np.full(m + 1, -1, dtype=np.int64)
@@ -77,34 +99,46 @@ class _ShardPlan:
                                         int(run_cont[ri])))
                     ri += 1
 
-        # window weights: packed cells of each run + residual entries
-        w = np.zeros(num_windows, dtype=np.float64)
+        # unit weights: packed cells of each run + residual entries
+        w = np.zeros(num_units, dtype=np.float64)
         for fname, rows_h in _FAMS:
             for (b, t0, cid) in runs[fname]:
-                w[win_of_cont[cid]] += rows_h * b * GROUP_LANES
+                w[unit_of_cont[cid]] += rows_h * b * GROUP_LANES
         res_panel = panel_of_row[packed.res_rows.astype(np.int64)]
-        res_win = np.where(res_panel >= 0, res_panel // 8, 0)
-        np.add.at(w, res_win, 64.0)  # nominal residual weight
+        res_unit = np.where(res_panel >= 0,
+                            unit_of_panel[np.maximum(res_panel, 0)], 0)
+        np.add.at(w, res_unit, 64.0)  # nominal residual weight
 
-        # contiguous window partition into R parts (balanced prefix cut)
+        # contiguous unit partition into R parts: sequential greedy cut —
+        # each device takes units until its load reaches the average of
+        # what remains, choosing the nearer boundary (floor cuts alone
+        # pile the rounding remainder onto the last device when units
+        # are coarse, e.g. DP supertile containers)
         cum = np.cumsum(w)
         total = cum[-1] if len(cum) else 0.0
         bounds = [0]
         for d in range(1, R):
-            target = total * d / R
-            bounds.append(int(np.searchsorted(cum, target)))
-        bounds.append(num_windows)
+            prev = bounds[-1]
+            left = total - (cum[prev - 1] if prev else 0.0)
+            target = (cum[prev - 1] if prev else 0.0) \
+                + left / (R - d + 1)
+            b = int(np.searchsorted(cum, target))
+            if b > prev and abs(cum[b - 1] - target) <= \
+                    abs((cum[b] if b < len(cum) else total) - target):
+                b -= 1
+            bounds.append(min(b + 1, num_units))
+        bounds.append(num_units)
         # enforce monotone non-decreasing
         for i in range(1, len(bounds)):
             bounds[i] = max(bounds[i], bounds[i - 1])
         self.window_bounds = bounds
-        dev_of_win = np.zeros(num_windows, dtype=np.int64)
+        dev_of_unit = np.zeros(num_units, dtype=np.int64)
         for d in range(R):
-            dev_of_win[bounds[d]:bounds[d + 1]] = d
+            dev_of_unit[bounds[d]:bounds[d + 1]] = d
 
         # panels / local A rows per device
         self.R = R
-        panel_dev = dev_of_win[np.arange(num_panels) // 8] \
+        panel_dev = dev_of_unit[unit_of_panel[:num_panels]] \
             if num_panels else np.zeros(0, dtype=np.int64)
         counts = np.bincount(panel_dev, minlength=R) if num_panels \
             else np.zeros(R, dtype=np.int64)
@@ -128,17 +162,17 @@ class _ShardPlan:
         NG = packed.num_col_groups
         G = packed.group_size
         LG = GROUP_LANES // G
+
+        # Pass 1: bucket structure + per-device run lists per family, so
+        # the flat destination map can be allocated ONCE (int32) instead
+        # of concatenating per-segment int64 parts — the concat was the
+        # dominant plan-build cost at suite scale (hundreds of MB of
+        # first-touch allocations).
         self.local_buckets = {}
-        self.tile_rows = {}
-        self.tile_gids = {}
-        flat_off = 0
-        dest_parts = []  # (R, cells) per segment
+        fam_plan = {}
+        flat_cells = 0
         for fname, rows_h in _FAMS:
             fruns = runs[fname]
-            rows_arr = getattr(packed, f"{fname}_rows").astype(np.int64)
-            gids_arr = getattr(packed, f"{fname}_gids").astype(np.int64)
-            csr_arr = getattr(packed, f"{fname}_csr")
-            # group runs per (bucket size) preserving order
             bsizes = []
             for (b, t0, cid) in fruns:
                 if not bsizes or bsizes[-1] != b:
@@ -146,21 +180,44 @@ class _ShardPlan:
             # bucket sizes are sorted ascending and unique by construction
             dev_runs = {b: [[] for _ in range(R)] for b in bsizes}
             for (b, t0, cid) in fruns:
-                dev_runs[b][dev_of_win[win_of_cont[cid]]].append(t0)
+                dev_runs[b][dev_of_unit[unit_of_cont[cid]]].append(t0)
             lb = []
-            t_rows_l, t_gids_l = [], []
             start_local = 0
             for b in bsizes:
                 n_max = max(len(x) for x in dev_runs[b])
                 if n_max == 0:
                     continue
                 lb.append((b, start_local, n_max))
-                seg_rows = np.full((R, n_max * b, rows_h), self.rows_max,
-                                   dtype=np.int64)
-                seg_gids = np.full((R, n_max * b, LG), NG, dtype=np.int64)
+                flat_cells += n_max * rows_h * b * GROUP_LANES
+                start_local += n_max * b
+            self.local_buckets[fname] = tuple(lb)
+            fam_plan[fname] = (dev_runs, start_local)
+
+        H = packed.hub_cols
+        res_dev = np.where(res_panel >= 0, dev_of_unit[res_unit], 0)
+        counts_r = np.bincount(res_dev, minlength=R)
+        nR_max = max(int(counts_r.max()) if len(res_dev) else 0, 1)
+        self.flat_local = (flat_cells + (self.rows_max * H if H else 0)
+                           + nR_max)
+        csr_dest = np.full((R, self.flat_local), packed.nnz,
+                           dtype=np.int32)
+
+        # Pass 2: fill tile arrays and the destination map in place.
+        self.tile_rows = {}
+        self.tile_gids = {}
+        seg_off = 0
+        for fname, rows_h in _FAMS:
+            rows_arr = getattr(packed, f"{fname}_rows").astype(np.int64)
+            gids_arr = getattr(packed, f"{fname}_gids").astype(np.int64)
+            csr_arr = getattr(packed, f"{fname}_csr")
+            dev_runs, tiles_local = fam_plan[fname]
+            t_rows = np.full((R, tiles_local, rows_h), self.rows_max,
+                             dtype=np.int64)
+            t_gids = np.full((R, tiles_local, LG), NG, dtype=np.int64)
+            for (b, start_local, n_max) in self.local_buckets[fname]:
                 run_cells = rows_h * b * GROUP_LANES
-                seg_dest = np.full((R, n_max * run_cells),
-                                   packed.nnz, dtype=np.int64)
+                seg_dest = csr_dest[:, seg_off:seg_off
+                                    + n_max * run_cells]
                 # flatten (device, run) pairs and assign all runs at once
                 d_arr = np.repeat(
                     np.arange(R, dtype=np.int64),
@@ -178,44 +235,44 @@ class _ShardPlan:
                     tile_src = (t0_arr[:, None]
                                 + np.arange(b, dtype=np.int64)).reshape(-1)
                     d_rep = np.repeat(d_arr, b)
-                    slot = (j_arr[:, None] * b
+                    slot = (start_local + j_arr[:, None] * b
                             + np.arange(b, dtype=np.int64)).reshape(-1)
                     # all b tiles of a run share the same rows
                     rloc = local_of_row[rows_arr[t0_arr]]  # (nrb, rows_h)
-                    seg_rows[d_rep, slot] = np.repeat(rloc, b, axis=0)
-                    seg_gids[d_rep, slot] = gids_arr[tile_src]
+                    t_rows[d_rep, slot] = np.repeat(rloc, b, axis=0)
+                    t_gids[d_rep, slot] = gids_arr[tile_src]
                     # run-major cells: (rows_h, b, 128) per run
                     cells = csr_arr[tile_src].reshape(
                         nrb, b, rows_h, GROUP_LANES).transpose(0, 2, 1, 3)
-                    cells = np.where(cells >= 0, cells, packed.nnz)
+                    cells = np.where(cells >= 0, cells,
+                                     packed.nnz).astype(np.int32)
                     seg_dest[d_arr[:, None],
                              j_arr[:, None] * run_cells
                              + np.arange(run_cells, dtype=np.int64)] = \
                         cells.reshape(nrb, run_cells)
-                t_rows_l.append(seg_rows)
-                t_gids_l.append(seg_gids)
-                dest_parts.append(seg_dest)
-                start_local += n_max * b
-            self.local_buckets[fname] = tuple(lb)
-            if t_rows_l:
-                self.tile_rows[fname] = np.concatenate(t_rows_l, axis=1)
-                self.tile_gids[fname] = np.concatenate(t_gids_l, axis=1)
-            else:
-                self.tile_rows[fname] = np.full((R, 0, rows_h),
-                                                self.rows_max,
-                                                dtype=np.int64)
-                self.tile_gids[fname] = np.full((R, 0, LG), NG,
-                                                dtype=np.int64)
+                seg_off += n_max * run_cells
+            self.tile_rows[fname] = t_rows
+            self.tile_gids[fname] = t_gids
+
+        # Dense hub slab: per-device (rows_max, H) block computed from the
+        # device's panel-local A rows (kernel order: families ++ slab ++
+        # residual).
+        if H:
+            slab_dest = csr_dest[:, seg_off:seg_off + self.rows_max * H]
+            hr = packed.hub_rows.astype(np.int64)
+            hd = dev_of_unit[unit_of_panel[
+                np.maximum(panel_of_row[hr], 0)]]
+            hs = local_of_row[hr]
+            slab_dest[hd, hs * H + packed.hub_rank.astype(np.int64)] = \
+                packed.hub_csr.astype(np.int64)
+            seg_off += self.rows_max * H
 
         # residual per device (local row ids) — vectorized: stable-sort by
         # device, then each entry's slot is its rank within its device.
-        res_dev = np.where(res_panel >= 0, dev_of_win[res_win], 0)
-        counts_r = np.bincount(res_dev, minlength=R)
-        nR_max = max(int(counts_r.max()) if len(res_dev) else 0, 1)
         self.res_rows = np.full((R, nR_max), self.rows_max, dtype=np.int64)
         self.res_gids = np.full((R, nR_max), NG, dtype=np.int64)
         self.res_member = np.zeros((R, nR_max), dtype=np.int64)
-        res_dest = np.full((R, nR_max), packed.nnz, dtype=np.int64)
+        res_dest = csr_dest[:, seg_off:seg_off + nR_max]
         rr = packed.res_rows.astype(np.int64)
         rg = packed.res_gids.astype(np.int64)
         rm = packed.res_member.astype(np.int64)
@@ -231,24 +288,8 @@ class _ShardPlan:
             self.res_member[d_s, j_s] = rm[order_r]
             res_dest[d_s, j_s] = rc[order_r]
 
-        # Dense hub slab: per-device (rows_max, H) block computed from the
-        # device's panel-local A rows (kernel order: families ++ slab ++
-        # residual).
-        H = packed.hub_cols
-        if H:
-            slab_dest = np.full((R, self.rows_max * H), packed.nnz,
-                                dtype=np.int64)
-            hr = packed.hub_rows.astype(np.int64)
-            hd = dev_of_win[np.maximum(panel_of_row[hr], 0) // 8]
-            hs = local_of_row[hr]
-            slab_dest[hd, hs * H + packed.hub_rank.astype(np.int64)] = \
-                packed.hub_csr.astype(np.int64)
-            dest_parts.append(slab_dest)
-        dest_parts.append(res_dest)
-
-        # per-device flat layout: [family segments ++ residual]
-        self.csr_dest = np.concatenate(dest_parts, axis=1)
-        self.flat_local = self.csr_dest.shape[1]
+        # per-device flat layout: [family segments ++ slab ++ residual]
+        self.csr_dest = csr_dest
 
 
 class DistributedHybridSDDMM:

@@ -254,7 +254,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          merge_superpanels: bool = True,
          pair_panels: bool = True,
          absorb_residual: bool = True,
-         compute_dtype: str = "tf32") -> PackedMatrix:
+         compute_dtype: str = "tf32",
+         window_dp: bool = True) -> PackedMatrix:
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
     G = int(bsmr.group_size)
@@ -323,7 +324,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     def padded(x: int) -> int:
         return -(-x // LG) * LG
 
-    # --- Per 8-panel window: choose group / pair / super by cost ---
+    # --- Carve the panel sequence into tile containers ---
     # Containers: (family, member panel list, group-id list).
     cont_family: list[int] = []
     cont_panels: list[list[int]] = []
@@ -332,7 +333,90 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     panel_offset = np.zeros(num_panels, dtype=np.int64)  # 16-row slot
 
     mxu_ns = _mxu_slice16_ns(compute_dtype)
-    num_windows = (num_panels + PANELS_PER_SUPER - 1) // PANELS_PER_SUPER
+
+    if window_dp:
+        # Cross-window DP (round 3): tile heights are r in {1,2,4,8}
+        # panels, but nothing in the kernel requires runs to start at
+        # 8-panel-aligned boundaries — A rows are gathered by index, so
+        # a container may cover ANY consecutive panels.  The old
+        # per-window carve (below, window_dp=False) strands similar
+        # panels on opposite sides of a window boundary in separate
+        # half-empty containers; the shortest-path DP over the full
+        # panel sequence removes that restriction and is a strict
+        # superset of the per-window solutions under the same cost
+        # model.  (Reference counterpart: the fixed row-panel blocking
+        # of BSMR.cpp:83-265 — a GPU-grid constraint TPU doesn't have.)
+        allowed_r = [1]
+        if pair_panels:
+            allowed_r.append(2)
+        if merge_superpanels:
+            allowed_r += [4, 8]
+        max_r = max(allowed_r)
+
+        # unions[r][i] = sorted unique dense group-ids of panels
+        # [i, min(i+r, num_panels)), built by doubling merges.
+        unions: dict[int, list[np.ndarray]] = {1: panel_groups}
+        r_prev = 1
+        for r in (2, 4, 8):
+            if r > max_r:
+                break
+            prev = unions[r_prev]
+            cur = []
+            for i in range(num_panels):
+                a_ = prev[i]
+                b_ = (prev[i + r_prev] if i + r_prev < num_panels
+                      else None)
+                if b_ is None or not len(b_):
+                    cur.append(a_)
+                elif not len(a_):
+                    cur.append(b_)
+                else:
+                    cur.append(np.unique(np.concatenate([a_, b_])))
+            unions[r] = cur
+            r_prev = r
+
+        usize = {r: np.fromiter((len(u) for u in unions[r]),
+                                dtype=np.int64, count=num_panels)
+                 for r in allowed_r}
+        seg_cost = {}
+        for r in allowed_r:
+            chunks = -(-usize[r] // LG)  # padded(len)/LG, vectorized
+            seg_cost[r] = np.where(
+                usize[r] > 0,
+                _COST_PER_COL[r] * G * chunks * LG + mxu_ns[r] * r * chunks,
+                0.0)
+
+        dp = np.zeros(num_panels + 1)
+        choice = np.ones(num_panels, dtype=np.int64)
+        for i in range(num_panels - 1, -1, -1):
+            best = seg_cost[1][i] + dp[i + 1]
+            best_r = 1
+            for r in allowed_r[1:]:
+                c = seg_cost[r][i] + dp[min(i + r, num_panels)]
+                if c < best:
+                    best, best_r = c, r
+            dp[i] = best
+            choice[i] = best_r
+
+        i = 0
+        while i < num_panels:
+            r = int(choice[i])
+            j = min(i + r, num_panels)
+            u = unions[r][i]
+            if len(u):
+                cid = len(cont_family)
+                cont_family.append(_FAM_OF_R[r])
+                members = list(range(i, j))
+                cont_panels.append(members)
+                cont_groups.append(np.asarray(u, dtype=np.int64))
+                for jj, p in enumerate(members):
+                    panel_container[p] = cid
+                    panel_offset[p] = jj
+            i = j
+
+    num_windows = (0 if window_dp
+                   else (num_panels + PANELS_PER_SUPER - 1)
+                   // PANELS_PER_SUPER)
     for w in range(num_windows):
         ps = [p for p in range(w * PANELS_PER_SUPER,
                                min((w + 1) * PANELS_PER_SUPER, num_panels))]

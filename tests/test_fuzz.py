@@ -59,12 +59,13 @@ def test_fuzz_pipeline_invariants_and_values(trial):
     merge = bool(rng.integers(0, 2))
     pair = bool(rng.integers(0, 2))
     absorb = bool(rng.integers(0, 2))
+    window_dp = bool(rng.integers(0, 2))
 
     bsmr = BSMR(alpha, delta, csr, group_size=g, cluster_cols=cluster_cols)
     check_row_reordering(csr, bsmr)
     check_col_reordering(csr, bsmr)
     packed = pack(csr, bsmr, merge_superpanels=merge, pair_panels=pair,
-                  absorb_residual=absorb)
+                  absorb_residual=absorb, window_dp=window_dp)
     check_pack(csr, bsmr, packed)
 
     a = generate.make_dense(csr.m, k, seed=trial)
@@ -76,4 +77,5 @@ def test_fuzz_pipeline_invariants_and_values(trial):
     res = check_values(want, got)
     assert res.passed, (
         f"trial={trial} alpha={alpha} delta={delta} G={g} C={k_chunks} "
-        f"merge={merge} pair={pair} absorb={absorb} k={k}: {res}")
+        f"merge={merge} pair={pair} absorb={absorb} dp={window_dp} "
+        f"k={k}: {res}")
