@@ -142,6 +142,7 @@ def main():
                 hub_cols=cfg.get("hub", 0),
                 compute_dtype=args.compute_dtype)
             tuned.use_pallas = bool(cfg.get("pallas", False))
+            tuned.a_layout = cfg.get("a_layout", "rows")
         else:
             tuned = autotune(csr, k=args.k,
                              compute_dtype=args.compute_dtype,
@@ -151,7 +152,8 @@ def main():
         runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
                              k_chunks=tuned.k_chunks,
                              use_pallas=getattr(tuned, "use_pallas",
-                                                False))
+                                                False),
+                             a_layout=getattr(tuned, "a_layout", "rows"))
         a = generate.make_dense(csr.m, args.k, seed=1)
         b = generate.make_dense(args.k, csr.n, seed=2)
         a_pad, bt_pad = runner.prepare_operands(a, b=b)

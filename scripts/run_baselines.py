@@ -179,7 +179,9 @@ def main(argv=None):
                                      compute_dtype=args.compute_dtype,
                                      k_chunks=tuned.k_chunks,
                                      use_pallas=getattr(
-                                         tuned, "use_pallas", False))
+                                         tuned, "use_pallas", False),
+                                     a_layout=getattr(
+                                         tuned, "a_layout", "rows"))
                 a_pad, bt_phys = runner.prepare_operands(a, b=b)
                 ms = runner.measure_kernel_ms(a_pad, bt_phys,
                                               iterations=20)

@@ -126,7 +126,8 @@ def _dot3(a_c, bg, dimension_numbers):
 def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                        quad_gids, pair_rows, pair_gids, group_rows,
                        group_gids, res_rows, res_gids, res_member,
-                       hub_start=None,
+                       hub_start=None, a_panels=None, super_pst=None,
+                       quad_pst=None, pair_pst=None, group_pst=None,
                        compute_dtype="tf32", g=1, kc=0, pallas_dots=False,
                        super_buckets=(), quad_buckets=(), pair_buckets=(),
                        group_buckets=(), h=0):
@@ -140,6 +141,18 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
     Each ``*_buckets`` entry (b, start_tile, n_runs) describes a segment
     of containers with b 128-lane chunks each: A is gathered once per
     container and the batched dot runs at n = b*128 lanes.
+
+    a_panels (optional): (num_panels+1, 16, K) — A pre-relayouted into
+    reordered *panel-major* order (slot p holds the 16 rows of panel p;
+    sentinel panel all-zero).  When given (with the per-run first-panel
+    arrays ``*_pst``), containers fetch A with ONE 16-row panel
+    descriptor per panel instead of 16 per-row descriptors — containers
+    cover consecutive panels (the DP carve), so a run of height R needs
+    only R/16 descriptors.  Rows of a short container beyond its member
+    panels then read the *neighbouring* panel instead of the zero
+    sentinel row: those slots carry garbage dot products, which the
+    packed-order contract already allows (see HybridSDDMM docstring) —
+    no real entry ever maps to a non-member-panel row slot.
     """
     adtype, bdtype = _storage_dtypes(compute_dtype)
     precision = _PRECISION[compute_dtype]
@@ -193,18 +206,29 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
     # Per (family, bucket) segment: gather the run's A rows once, then
     # one batched (n_runs, R, Kc) x (n_runs, b*128, Kc) dot per K-chunk.
     segments = []
-    for rows_arr, gids_arr, buckets in (
-            (super_rows, super_gids, super_buckets),
-            (quad_rows, quad_gids, quad_buckets),
-            (pair_rows, pair_gids, pair_buckets),
-            (group_rows, group_gids, group_buckets)):
+    for rows_arr, gids_arr, pst_arr, buckets in (
+            (super_rows, super_gids, super_pst, super_buckets),
+            (quad_rows, quad_gids, quad_pst, quad_buckets),
+            (pair_rows, pair_gids, pair_pst, pair_buckets),
+            (group_rows, group_gids, group_pst, group_buckets)):
+        run_off = 0
         for (b, start, n_runs) in buckets:
             run_rows = jax.lax.slice_in_dim(
                 rows_arr, start, start + n_runs * b, stride=b, axis=0)
             gids = jax.lax.slice_in_dim(
                 gids_arr, start, start + n_runs * b, axis=0)
             gids = gids.reshape(n_runs, b * LG)
-            a_run = jnp.take(a_pad, run_rows, axis=0)  # (n, R, K)
+            if a_panels is not None:
+                npan = rows_arr.shape[1] // 16
+                pst = jax.lax.slice_in_dim(pst_arr, run_off,
+                                           run_off + n_runs)
+                pids = pst[:, None] + jnp.arange(npan, dtype=jnp.int32)
+                pids = jnp.minimum(pids, jnp.int32(a_panels.shape[0] - 1))
+                a_run = jnp.take(a_panels, pids, axis=0).reshape(
+                    n_runs, npan * 16, a_panels.shape[2])
+            else:
+                a_run = jnp.take(a_pad, run_rows, axis=0)  # (n, R, K)
+            run_off += n_runs
             out_shape = ((n_runs, rows_arr.shape[1], b * GROUP_LANES)
                          if g == 1
                          else (n_runs, rows_arr.shape[1], b * LG, g))
@@ -348,13 +372,38 @@ class HybridSDDMM:
 
     def __init__(self, packed: PackedMatrix, compute_dtype: str = "tf32",
                  device=None, default_order: str = "packed",
-                 k_chunks: int = 1, use_pallas: bool = False):
+                 k_chunks: int = 1, use_pallas: bool = False,
+                 a_layout: str = "rows"):
         self.packed = packed
         self.compute_dtype = compute_dtype
         self.default_order = default_order
         self.k_chunks = int(k_chunks)
         self.use_pallas = bool(use_pallas)
+        if a_layout not in ("rows", "panels"):
+            raise ValueError(f"unknown a_layout {a_layout!r}")
+        if a_layout == "panels" and packed.cont_panel_off is None:
+            raise ValueError("a_layout='panels' needs container topology "
+                             "(packed.cont_panel_off)")
+        self.a_layout = a_layout
         put = functools.partial(jax.device_put, device=device)
+        if a_layout == "panels":
+            # Per-run first-panel index per family, in bucketed-run
+            # order: containers span consecutive panels (the DP carve),
+            # so run i's A block is panels [pst[i], pst[i] + R/16).
+            first_panel = packed.cont_panel_ids[packed.cont_panel_off[:-1]]
+            self._fam_pst = {
+                f: put(jnp.asarray(
+                    first_panel[getattr(packed, f + "_run_cont")]
+                    if len(getattr(packed, f + "_run_cont")) else
+                    np.zeros(0, np.int64), dtype=jnp.int32))
+                for f in ("super", "quad", "pair", "group")}
+            self._a_panel_gather = put(jnp.asarray(
+                np.where(packed.a_row_gather < packed.m,
+                         packed.a_row_gather, packed.m), dtype=jnp.int32))
+        else:
+            self._fam_pst = {f: None
+                             for f in ("super", "quad", "pair", "group")}
+            self._a_panel_gather = None
         self._super_rows = put(jnp.asarray(packed.super_rows,
                                            dtype=jnp.int32))
         self._super_gids = put(jnp.asarray(packed.super_gids,
@@ -403,6 +452,19 @@ class HybridSDDMM:
                 and bool(np.array_equal(p.col_order,
                                         np.arange(p.n, dtype=np.int64))))
 
+    def _norm_a(self, a_ops):
+        """Normalize the A operand: plain (M+1, K) array, or the
+        (a_pad, a_panels) pair produced by prepare_operands /
+        device_prepare under ``a_layout='panels'``."""
+        if isinstance(a_ops, (tuple, list)):
+            return a_ops[0], a_ops[1]
+        if self.a_layout == "panels":
+            raise ValueError(
+                "a_layout='panels' operands must come from "
+                "prepare_operands/device_prepare (need the panel-major "
+                "A relayout)")
+        return a_ops, None
+
     def prepare_operands(self, a, b=None, bt=None):
         """Pad A (M,K)->(M+1,K); build the grouped/chunked B^T layout
         (C, NG+1, G*Kc) — both as device arrays in the runner's storage
@@ -417,8 +479,14 @@ class HybridSDDMM:
         bt_pad = np.concatenate([bt, np.zeros((1, bt.shape[1]), bt.dtype)])
         bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
         adt, bdt = _storage_dtypes(self.compute_dtype)
-        return (jnp.asarray(a_pad).astype(adt),
-                jnp.asarray(bt_phys).astype(bdt))
+        a_dev = jnp.asarray(a_pad).astype(adt)
+        if self.a_layout == "panels":
+            k = a_pad.shape[1]
+            ap = a_pad[np.asarray(self.packed.a_row_gather)]
+            ap = np.concatenate([ap.reshape(-1, 16, k),
+                                 np.zeros((1, 16, k), a_pad.dtype)])
+            a_dev = (a_dev, jnp.asarray(ap).astype(adt))
+        return a_dev, jnp.asarray(bt_phys).astype(bdt)
 
     def device_prepare(self, a_pad: jax.Array,
                        bt_pad: jax.Array) -> tuple:
@@ -427,13 +495,20 @@ class HybridSDDMM:
         adt, bdt = _storage_dtypes(self.compute_dtype)
         a_pad = a_pad.astype(adt)
         bt_pad = bt_pad.astype(bdt)
+        a_dev = a_pad
+        if self.a_layout == "panels":
+            k = a_pad.shape[1]
+            ap = jnp.take(a_pad, self._a_panel_gather, axis=0)
+            ap = jnp.concatenate([ap.reshape(-1, 16, k),
+                                  jnp.zeros((1, 16, k), a_pad.dtype)])
+            a_dev = (a_pad, ap)
         if self.is_identity_layout:
-            return a_pad, bt_pad[None]
+            return a_dev, bt_pad[None]
         if self._col_order_dev is None:
             p = self.packed
             order = np.where(p.col_order < p.n, p.col_order, p.n)
             self._col_order_dev = jnp.asarray(order, dtype=jnp.int32)
-        return a_pad, device_bt_phys(
+        return a_dev, device_bt_phys(
             bt_pad, self._col_order_dev, self.packed.group_size,
             self.packed.num_col_groups, self.k_chunks)
 
@@ -449,6 +524,7 @@ class HybridSDDMM:
         compatibility a plain (N+1, K) bt is accepted when the packing
         uses the identity layout."""
         order = order or self.default_order
+        a_pad, a_panels = self._norm_a(a_pad)
         if bt_phys.ndim == 2:
             if not self.is_identity_layout:
                 raise ValueError(
@@ -464,6 +540,11 @@ class HybridSDDMM:
             self._group_rows, self._group_gids,
             self._res_rows, self._res_gids, self._res_member,
             hub_start=(jnp.int32(0) if self.packed.hub_cols else None),
+            a_panels=a_panels,
+            super_pst=self._fam_pst["super"],
+            quad_pst=self._fam_pst["quad"],
+            pair_pst=self._fam_pst["pair"],
+            group_pst=self._fam_pst["group"],
             compute_dtype=self.compute_dtype,
             g=self.packed.group_size, kc=kc,
             pallas_dots=self.use_pallas,
@@ -496,6 +577,7 @@ class HybridSDDMM:
         compiler, exact at runtime."""
 
         def looped(a_pad, bt_phys):
+            a_pad, a_panels = self._norm_a(a_pad)
             if bt_phys.ndim == 2:
                 bt_phys = bt_phys[None]
             k = a_pad.shape[1]
@@ -510,6 +592,9 @@ class HybridSDDMM:
                 def mask(ix):
                     return jnp.where(live, ix, jnp.zeros_like(ix))
 
+                def mask_opt(ix):
+                    return None if ix is None else mask(ix)
+
                 flat = _hybrid_packed_jit(
                     a_pad, bt_phys,
                     mask(self._super_rows), mask(self._super_gids),
@@ -520,6 +605,11 @@ class HybridSDDMM:
                     mask(self._res_member),
                     hub_start=(jnp.where(live, jnp.int32(0), jnp.int32(1))
                                if self.packed.hub_cols else None),
+                    a_panels=a_panels,
+                    super_pst=mask_opt(self._fam_pst["super"]),
+                    quad_pst=mask_opt(self._fam_pst["quad"]),
+                    pair_pst=mask_opt(self._fam_pst["pair"]),
+                    group_pst=mask_opt(self._fam_pst["group"]),
                     compute_dtype=self.compute_dtype,
                     g=self.packed.group_size, kc=kc,
                     pallas_dots=self.use_pallas,

@@ -158,6 +158,10 @@ class TunedConfig:
     measured_ms: Optional[float] = None
     hub_cols: int = 0
     use_pallas: bool = False
+    # "panels": A pre-relayouted to reordered panel-major order; one
+    # 16-row descriptor per panel instead of 16 row descriptors
+    # (ops/hybrid.py).  Shootout-arbitrated like use_pallas.
+    a_layout: str = "rows"
 
 
 def estimate_ms(packed: PackedMatrix, k: int,
@@ -460,11 +464,23 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     # Pallas on trial (VERDICT r2 #6): the manual 3-pass MXU tile-dot
     # kernel enters the shootout as a twin of the model's top tf32
     # candidate; measurement decides whether it ever wins.
+    twin_base = finalists[:1]
     if compute_dtype == "tf32" and finalists and \
             finalists[0].group_size == 1 and not finalists[0].hub_cols:
         twin = copy.copy(finalists[0])
         twin.use_pallas = True
         finalists.append(twin)
+        twin_base.append(twin)
+
+    # Panel-major A relayout on trial (VERDICT r2 #2a): twin the top
+    # candidate (and its pallas twin) with a_layout="panels" — cuts A
+    # descriptors 16x on consecutive-panel containers.
+    for cand in twin_base:
+        if cand.a_layout == "rows" and \
+                cand.packed.cont_panel_off is not None:
+            twin = copy.copy(cand)
+            twin.a_layout = "panels"
+            finalists.append(twin)
 
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
@@ -474,7 +490,8 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     for cand in finalists:
         runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
                              k_chunks=cand.k_chunks,
-                             use_pallas=cand.use_pallas)
+                             use_pallas=cand.use_pallas,
+                             a_layout=cand.a_layout)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
         cand = copy.copy(cand)
         cand.measured_ms = runner.measure_kernel_ms(
@@ -484,6 +501,7 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "
                   f"H={cand.hub_cols} pallas={cand.use_pallas} "
+                  f"aL={cand.a_layout} "
                   f"merge={cand.merge_superpanels}: "
                   f"{cand.measured_ms:.3f}ms (est {cand.est_ms:.3f})")
     out.sort(key=lambda t: t.measured_ms)
