@@ -25,7 +25,7 @@ import numpy as np
 
 def parse_spec(spec: str) -> dict:
     out = {"a": 0.3, "d": 0.05, "g": 1, "c": 1, "hub": 0, "pallas": 0,
-           "dtype": "tf32", "merge": 1}
+           "dtype": "tf32", "merge": 1, "apanels": 0}
     for kv in spec.split(","):
         k, v = kv.split("=")
         k = k.strip()
@@ -77,10 +77,12 @@ def main(argv=None) -> int:
         tag = (f"a={sp['a']} d={sp['d']} G={sp['g']} C={sp['c']} "
                f"H={sp['hub']}"
                + (" pallas" if sp["pallas"] else "")
+               + (" apanels" if sp["apanels"] else "")
                + (f" {sp['dtype']}" if sp["dtype"] != "tf32" else ""))
         runner = HybridSDDMM(pk, compute_dtype=sp["dtype"],
                              k_chunks=sp["c"],
-                             use_pallas=bool(sp["pallas"]))
+                             use_pallas=bool(sp["pallas"]),
+                             a_layout="panels" if sp["apanels"] else "rows")
         ops = runner.prepare_operands(a, b=b)
         print(f"[{tag}] tiles=({pk.num_super},{pk.num_quads},"
               f"{pk.num_pairs},{pk.num_groups}) res={pk.nnz_res} "

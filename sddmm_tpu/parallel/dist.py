@@ -143,9 +143,9 @@ class _ShardPlan:
         counts = np.bincount(panel_dev, minlength=R) if num_panels \
             else np.zeros(R, dtype=np.int64)
         self.rows_max = int(counts.max()) * 16 if num_panels else 16
-        a_rows_local = np.full((R, self.rows_max), m, dtype=np.int64)
+        a_rows_local = np.full((R, self.rows_max), m, dtype=np.int32)
         # local slot of each original row (sentinel -> rows_max)
-        local_of_row = np.full(m + 1, self.rows_max, dtype=np.int64)
+        local_of_row = np.full(m + 1, self.rows_max, dtype=np.int32)
         p0 = np.zeros(R, dtype=np.int64)
         for p in range(num_panels):
             d = panel_dev[p]
@@ -212,8 +212,8 @@ class _ShardPlan:
             csr_arr = getattr(packed, f"{fname}_csr")
             dev_runs, tiles_local = fam_plan[fname]
             t_rows = np.full((R, tiles_local, rows_h), self.rows_max,
-                             dtype=np.int64)
-            t_gids = np.full((R, tiles_local, LG), NG, dtype=np.int64)
+                             dtype=np.int32)
+            t_gids = np.full((R, tiles_local, LG), NG, dtype=np.int32)
             for (b, start_local, n_max) in self.local_buckets[fname]:
                 run_cells = rows_h * b * GROUP_LANES
                 seg_dest = csr_dest[:, seg_off:seg_off
@@ -269,8 +269,8 @@ class _ShardPlan:
 
         # residual per device (local row ids) — vectorized: stable-sort by
         # device, then each entry's slot is its rank within its device.
-        self.res_rows = np.full((R, nR_max), self.rows_max, dtype=np.int64)
-        self.res_gids = np.full((R, nR_max), NG, dtype=np.int64)
+        self.res_rows = np.full((R, nR_max), self.rows_max, dtype=np.int32)
+        self.res_gids = np.full((R, nR_max), NG, dtype=np.int32)
         self.res_member = np.zeros((R, nR_max), dtype=np.int64)
         res_dest = csr_dest[:, seg_off:seg_off + nR_max]
         rr = packed.res_rows.astype(np.int64)

@@ -579,37 +579,71 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     for f in fam_conts:
         fam_conts[f].sort(key=lambda cid: (bucket_of_cid(cid), cid))
 
-    fam_tiles: dict[int, list[tuple[int, np.ndarray]]] = {
-        _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
-    fam_buckets: dict[int, list[tuple[int, int, int]]] = {
-        _FAM_SUPER: [], _FAM_QUAD: [], _FAM_PAIR: [], _FAM_GROUP: []}
-    for f, cids in fam_conts.items():
-        for cid in cids:
-            g = cont_groups[cid]
-            b = bucket_of_cid(cid)
-            gp = np.concatenate(
-                [g, np.full(b * LG - len(g), NG, dtype=np.int64)])
-            if (not fam_buckets[f]) or fam_buckets[f][-1][0] != b:
-                fam_buckets[f].append((b, len(fam_tiles[f]), 0))
-            bsz, bstart, bcnt = fam_buckets[f][-1]
-            fam_buckets[f][-1] = (bsz, bstart, bcnt + 1)
-            for c0 in range(0, len(gp), LG):
-                fam_tiles[f].append((cid, gp[c0:c0 + LG]))
+    # Per-container topology as flat arrays (members are CONSECUTIVE
+    # panels under both carves — the DP emits range(i, j) and the window
+    # path slices of ps — which both the vectorized build below and the
+    # a_layout="panels" kernel path rely on).
+    cont_first = (np.fromiter((cp[0] for cp in cont_panels),
+                              dtype=np.int64, count=num_cont)
+                  if num_cont else np.zeros(0, dtype=np.int64))
+    cont_nmem = (np.fromiter((len(cp) for cp in cont_panels),
+                             dtype=np.int64, count=num_cont)
+                 if num_cont else np.zeros(0, dtype=np.int64))
+
+    fam_cids: dict[int, np.ndarray] = {}
+    fam_tile_cid: dict[int, np.ndarray] = {}
+    fam_gids_arr: dict[int, np.ndarray] = {}
+    fam_buckets: dict[int, list[tuple[int, int, int]]] = {}
+    for f, cids_l in fam_conts.items():
+        cids = np.asarray(cids_l, dtype=np.int64)
+        fam_cids[f] = cids
+        b_of = cont_bucket[cids] if len(cids) else cids
+        # bucket run-lengths (cids sorted by bucket): (b, start_tile, n)
+        buckets = []
+        if len(cids):
+            change = np.flatnonzero(np.diff(b_of)) + 1
+            starts = np.concatenate([[0], change, [len(cids)]])
+            tile_start = np.concatenate([[0], np.cumsum(b_of)])
+            for s, e in zip(starts[:-1], starts[1:]):
+                buckets.append((int(b_of[s]), int(tile_start[s]),
+                                int(e - s)))
+        fam_buckets[f] = buckets
+        totT = int(b_of.sum()) if len(cids) else 0
+        fam_tile_cid[f] = (np.repeat(cids, b_of) if totT
+                           else np.zeros(0, dtype=np.int64))
+        # flat (totT, LG) group table: container cid's groups padded
+        # with the sentinel NG to its bucket capacity b*LG
+        gids_flat = np.full(totT * LG, NG, dtype=np.int64)
+        if totT:
+            glens = np.fromiter((len(cont_groups[c]) for c in cids_l),
+                                dtype=np.int64, count=len(cids))
+            all_g = (np.concatenate([cont_groups[c] for c in cids_l])
+                     if glens.sum() else np.zeros(0, dtype=np.int64))
+            cap_off = np.concatenate([[0], np.cumsum(b_of * LG)])[:-1]
+            within = (np.arange(int(glens.sum()), dtype=np.int64)
+                      - np.repeat(np.concatenate(
+                          [[0], np.cumsum(glens)])[:-1], glens))
+            gids_flat[np.repeat(cap_off, glens) + within] = all_g
+        fam_gids_arr[f] = gids_flat.reshape(totT, LG)
 
     def build_family(f: int):
         rows_h = _FAM_ROWS[f]
-        tiles = fam_tiles[f]
-        nT = len(tiles)
-        t_rows = np.full((nT, rows_h), m, dtype=np.int64)
-        t_gids = np.full((nT, LG), NG, dtype=np.int64)
-        for t, (cid, chunk) in enumerate(tiles):
-            for j, p in enumerate(cont_panels[cid]):
-                rows = a_row_gather[p * panel_sz:(p + 1) * panel_sz]
-                t_rows[t, j * panel_sz:j * panel_sz + len(rows)] = rows
-            t_gids[t] = chunk
+        t_gids = fam_gids_arr[f]
+        nT = t_gids.shape[0]
+        tcid = fam_tile_cid[f]
+        # rows: consecutive reordered slots [first*16, first*16 +
+        # 16*n_members) per container, sentinel m past the members
+        j = np.arange(rows_h, dtype=np.int64)
+        if nT:
+            idx = cont_first[tcid][:, None] * panel_sz + j[None, :]
+            valid = j[None, :] < cont_nmem[tcid][:, None] * panel_sz
+            t_rows = np.where(valid, a_row_gather[np.minimum(
+                idx, len(a_row_gather) - 1)], m)
+        else:
+            t_rows = np.zeros((0, rows_h), dtype=np.int64)
         t_cols = cols_of_groups(t_gids.reshape(-1)).reshape(nT, GROUP_LANES)
         t_csr = np.full((nT, rows_h, GROUP_LANES), config.NULL_INDEX,
-                        dtype=np.int64)
+                        dtype=np.int32)
         return t_rows, t_gids, t_cols, t_csr
 
     super_rows, super_gids, super_cols, super_csr = build_family(_FAM_SUPER)
@@ -617,8 +651,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     pair_rows_a, pair_gids, pair_cols, pair_csr = build_family(_FAM_PAIR)
     group_rows, group_gids, group_cols, group_csr = build_family(_FAM_GROUP)
     num_super, num_quads, num_pairs, num_groups = (
-        len(fam_tiles[_FAM_SUPER]), len(fam_tiles[_FAM_QUAD]),
-        len(fam_tiles[_FAM_PAIR]), len(fam_tiles[_FAM_GROUP]))
+        len(fam_gids_arr[_FAM_SUPER]), len(fam_gids_arr[_FAM_QUAD]),
+        len(fam_gids_arr[_FAM_PAIR]), len(fam_gids_arr[_FAM_GROUP]))
 
     base_super = 0
     base_quad = num_super * SUPER_CELLS
@@ -629,22 +663,24 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                 _FAM_PAIR: base_pair, _FAM_GROUP: base_group}
 
     # Per-tile flat-slot origin and row stride under the run-major
-    # bucketed layout.
+    # bucketed layout (vectorized per bucket).
     tile_origin: dict[int, np.ndarray] = {}
     tile_stride: dict[int, np.ndarray] = {}
-    for f, tiles in fam_tiles.items():
+    for f, gids2 in fam_gids_arr.items():
         rows_h = _FAM_ROWS[f]
-        nT = len(tiles)
+        nT = gids2.shape[0]
         origin = np.zeros(nT, dtype=np.int64)
         stride = np.zeros(nT, dtype=np.int64)
         seg = fam_base[f]
         for (b, start, n_runs) in fam_buckets[f]:
             run_cells = rows_h * b * GROUP_LANES
-            for r in range(n_runs):
-                for c in range(b):
-                    t = start + r * b + c
-                    origin[t] = seg + r * run_cells + c * GROUP_LANES
-                    stride[t] = b * GROUP_LANES
+            sl = slice(start, start + n_runs * b)
+            origin[sl] = (seg
+                          + (np.arange(n_runs, dtype=np.int64)[:, None]
+                             * run_cells
+                             + np.arange(b, dtype=np.int64)[None, :]
+                             * GROUP_LANES).reshape(-1))
+            stride[sl] = b * GROUP_LANES
             seg += n_runs * run_cells
         tile_origin[f] = origin
         tile_stride[f] = stride
@@ -652,20 +688,23 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # --- Join each nnz entry against its container's group table ---
     tab_key_l, tab_slotbase_l, tab_stride_l = [], [], []
     tab_fam_l, tab_tile_l, tab_lgrp_l = [], [], []
-    for f, tiles in fam_tiles.items():
-        for t, (cid, chunk) in enumerate(tiles):
-            real = chunk < NG
-            pos = np.arange(len(chunk), dtype=np.int64)[real]
-            k_ = len(pos)
-            tab_key_l.append(np.full(k_, cid, dtype=np.int64)
-                             * np.int64(NG + 1) + chunk[real])
-            # slot of (tile, lane_grp) at local row 0, lane member 0
-            tab_slotbase_l.append(tile_origin[f][t] + pos * np.int64(G))
-            tab_stride_l.append(np.full(k_, tile_stride[f][t],
-                                        dtype=np.int64))
-            tab_fam_l.append(np.full(k_, f, dtype=np.int64))
-            tab_tile_l.append(np.full(k_, t, dtype=np.int64))
-            tab_lgrp_l.append(pos)
+    for f, gids2 in fam_gids_arr.items():
+        nT = gids2.shape[0]
+        if not nT:
+            continue
+        real = gids2 < NG  # (nT, LG)
+        t_idx = np.broadcast_to(
+            np.arange(nT, dtype=np.int64)[:, None], gids2.shape)[real]
+        pos = np.broadcast_to(
+            np.arange(LG, dtype=np.int64)[None, :], gids2.shape)[real]
+        tab_key_l.append(fam_tile_cid[f][t_idx] * np.int64(NG + 1)
+                         + gids2[real])
+        # slot of (tile, lane_grp) at local row 0, lane member 0
+        tab_slotbase_l.append(tile_origin[f][t_idx] + pos * np.int64(G))
+        tab_stride_l.append(tile_stride[f][t_idx])
+        tab_fam_l.append(np.full(len(pos), f, dtype=np.int64))
+        tab_tile_l.append(t_idx)
+        tab_lgrp_l.append(pos)
     if tab_key_l:
         tab_key = np.concatenate(tab_key_l)
         tab_slotbase = np.concatenate(tab_slotbase_l)
@@ -746,38 +785,22 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         raise AssertionError(
             f"packing lost {missing} CSR entries (invariant violation)")
 
-    # Packed-order metadata, scattered through the run-major slot map.
+    # Packed-order metadata: slots that hold a CSR entry carry its
+    # (row, col); every other slot carries the sentinel (m, n).  A slot
+    # is non-sentinel iff an entry maps to it, so this is exactly one
+    # nnz-sized scatter through inv_idx — not a packed_size-sized
+    # tile-table expansion (which was ~70% of pack() host time).
     F = res_base + len(res_csr)
-    packed_rows = np.full(F, m, dtype=np.int64)
-    packed_cols = np.full(F, n, dtype=np.int64)
-    for f, csr_arr, rows_arr, cols_arr in (
-            (_FAM_SUPER, super_csr, super_rows, super_cols),
-            (_FAM_QUAD, quad_csr, quad_rows_a, quad_cols),
-            (_FAM_PAIR, pair_csr, pair_rows_a, pair_cols),
-            (_FAM_GROUP, group_csr, group_rows, group_cols)):
-        nT, rows_h = csr_arr.shape[0], csr_arr.shape[1]
-        if not nT:
-            continue
-        slots3 = (tile_origin[f][:, None, None]
-                  + np.arange(rows_h, dtype=np.int64)[None, :, None]
-                  * tile_stride[f][:, None, None]
-                  + np.arange(GROUP_LANES, dtype=np.int64)[None, None, :])
-        valid3 = csr_arr >= 0
-        slot_rows = np.broadcast_to(rows_arr[:, :, None], csr_arr.shape)
-        slot_cols = np.broadcast_to(cols_arr[:, None, :], csr_arr.shape)
-        packed_rows[slots3.reshape(-1)] = np.where(valid3, slot_rows,
-                                                   m).reshape(-1)
-        packed_cols[slots3.reshape(-1)] = np.where(valid3, slot_cols,
-                                                   n).reshape(-1)
-    if H:
-        packed_rows[inv_idx[hub_csr_arr]] = hub_rows_arr
-        packed_cols[inv_idx[hub_csr_arr]] = col_idx[hub_e]
-    packed_rows[res_base:] = res_rows
-    packed_cols[res_base:] = res_cols
-    csr_dest = np.full(F, -1, dtype=np.int64)
-    csr_dest[inv_idx] = np.arange(csr.nnz)
+    assert F < 2**31, "packed flat vector exceeds int32 index range"
+    packed_rows = np.full(F, m, dtype=np.int32)
+    packed_cols = np.full(F, n, dtype=np.int32)
+    packed_rows[inv_idx] = entry_rows
+    packed_cols[inv_idx] = col_idx
+    csr_dest = np.full(F, -1, dtype=np.int32)
+    csr_dest[inv_idx] = np.arange(csr.nnz, dtype=np.int32)
     spill = csr_dest < 0
-    csr_dest[spill] = csr.nnz + np.arange(int(spill.sum()))
+    csr_dest[spill] = csr.nnz + np.arange(int(spill.sum()),
+                                          dtype=np.int32)
 
     # Container topology for multi-chip partitioning.
     cont_panel_off = np.zeros(num_cont + 1, dtype=np.int64)

@@ -178,10 +178,14 @@ def test_distributed_scale_mixed_families():
     assert (packed.num_quads + packed.num_pairs + packed.num_groups) > 0
     assert packed.nnz_res > 0, "noise should leave residual entries"
 
+    # warm call pays the first-touch page allocation (the suite runs
+    # memory-heavy tests first on a one-core box); the timed call
+    # measures the algorithmic plan-build cost
+    _ShardPlan(packed, 8)
     t0 = time.perf_counter()
     plan = _ShardPlan(packed, 8)
     plan_s = time.perf_counter() - t0
-    assert plan_s < 2.0, f"shard plan build took {plan_s:.2f}s (>2s)"
+    assert plan_s < 1.5, f"shard plan build took {plan_s:.2f}s (>1.5s)"
 
     mesh = make_mesh((8, 1), ("rows", "feat"))
     dist = DistributedHybridSDDMM(packed, mesh)
