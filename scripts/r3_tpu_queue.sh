@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-3 TPU measurement queue — run when the tunnel is back.
+# Order: cheapest decisions first (a_layout + pallas per regime at
+# K=128), then K=256 (the K-scaling inversion), then device clustering.
+# Each step logs to results/ and tolerates failure (set +e per step).
+# NOTE: nothing else may touch the TPU while this runs (CLAUDE.md rule 1).
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p results
+R=results
+
+run() {
+  log=$1; shift
+  echo "=== $log: $* ==="
+  timeout 2400 "$@" >"$R/$log" 2>&1
+  echo "rc=$?" >>"$R/$log"
+  tail -8 "$R/$log"
+}
+
+# --- 1. a_layout x pallas at K=128 on the block regimes ---
+run probe_apanels_clustered16_r3.log python scripts/probe_configs.py \
+  --matrix clustered16 --k 128 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1"
+
+run probe_apanels_banded_r3.log python scripts/probe_configs.py \
+  --matrix banded --k 128 --skip-check --configs \
+  "a=0.3,d=0.0,pallas=1;a=0.3,d=0.0,pallas=1,apanels=1;a=0.3,d=0.0,apanels=1"
+
+run probe_apanels_clustered128_r3.log python scripts/probe_configs.py \
+  --matrix clustered128 --k 128 --skip-check --configs \
+  "a=0.5,d=0.0;a=0.5,d=0.0,apanels=1"
+
+run probe_apanels_powerlaw_r3.log python scripts/probe_configs.py \
+  --matrix powerlaw --k 128 --skip-check --configs \
+  "a=0.1,d=0.05,hub=2048;a=0.1,d=0.05,hub=2048,apanels=1"
+
+# --- 2. K=256: shootout incl. C, apanels, pallas (fix the inversion) ---
+run probe_k256_clustered16_r3.log python scripts/probe_configs.py \
+  --matrix clustered16 --k 256 --skip-check --configs \
+  "a=0.3,d=0.05,c=2;a=0.3,d=0.05;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,c=2,apanels=1;a=0.3,d=0.05,pallas=1,apanels=1"
+
+run probe_k256_clustered128_r3.log python scripts/probe_configs.py \
+  --matrix clustered128 --k 256 --skip-check --configs \
+  "a=0.5,d=0.05;a=0.5,d=0.0,apanels=1;a=0.5,d=0.05,c=2,apanels=1;a=0.5,d=0.0,pallas=1,apanels=1"
+
+run probe_k256_banded_r3.log python scripts/probe_configs.py \
+  --matrix banded --k 256 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.3,d=0.0,apanels=1;a=0.3,d=0.0,pallas=1,apanels=1;a=0.3,d=0.05,c=2,apanels=1"
+
+run probe_k256_powerlaw_r3.log python scripts/probe_configs.py \
+  --matrix powerlaw --k 256 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.1,d=0.05,hub=2048;a=0.1,d=0.05,hub=2048,apanels=1"
+
+# --- 3. device clustering throughput at scale ---
+run probe_device_cluster_r3.log python scripts/probe_cluster.py
+
+echo "queue done"
