@@ -109,6 +109,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
     from sddmm_tpu.ops.hybrid import HybridSDDMM

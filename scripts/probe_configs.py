@@ -52,6 +52,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import bench
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     from sddmm_tpu.ops.reference import sddmm_reference

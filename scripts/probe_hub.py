@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("--rounds", type=int, default=3)
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import bench
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM

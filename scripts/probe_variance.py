@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     p.add_argument("--gap", type=float, default=2.0)
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import bench
     from sddmm_tpu.data import generate
     from sddmm_tpu.ops.hybrid import HybridSDDMM

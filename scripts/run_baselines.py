@@ -54,6 +54,9 @@ def main(argv=None):
                    "every requested tool (crash/tunnel-outage recovery)")
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import numpy as np
 
     import jax.numpy as jnp
