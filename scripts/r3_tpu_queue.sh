@@ -53,4 +53,15 @@ run probe_k256_powerlaw_r3.log python scripts/probe_configs.py \
 # --- 3. device clustering throughput at scale ---
 run probe_device_cluster_r3.log python scripts/probe_cluster.py
 
+# --- 4. small-K a_layout check (A descriptors are narrow/fast there;
+#         expect a wash — measure to be sure) ---
+run probe_k32_apanels_r3.log python scripts/probe_configs.py \
+  --matrix clustered16 --k 32 --skip-check --configs \
+  "a=0.3,d=0.0,g=4;a=0.3,d=0.0,g=4,apanels=1"
+
+# --- 5. reproducibility: two consecutive full bench runs on the
+#         committed configs (VERDICT r2 #1: agree within 10%) ---
+run bench_r3_runA.log python bench.py --verbose
+run bench_r3_runB.log python bench.py --verbose
+
 echo "queue done"
