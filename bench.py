@@ -143,7 +143,8 @@ def main():
                 group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
                 merge_superpanels=cfg.get("merge", True),
                 hub_cols=cfg.get("hub", 0),
-                compute_dtype=args.compute_dtype)
+                compute_dtype=args.compute_dtype,
+                window_dp=cfg.get("window_dp", True))
             tuned.use_pallas = bool(cfg.get("pallas", False))
             tuned.a_layout = cfg.get("a_layout", "rows")
         else:

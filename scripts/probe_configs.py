@@ -25,7 +25,7 @@ import numpy as np
 
 def parse_spec(spec: str) -> dict:
     out = {"a": 0.3, "d": 0.05, "g": 1, "c": 1, "hub": 0, "pallas": 0,
-           "dtype": "tf32", "merge": 1, "apanels": 0}
+           "dtype": "tf32", "merge": 1, "apanels": 0, "windowdp": 1}
     for kv in spec.split(","):
         k, v = kv.split("=")
         k = k.strip()
@@ -74,12 +74,14 @@ def main(argv=None) -> int:
                             group_size=sp["g"], k_chunks=sp["c"],
                             merge_superpanels=bool(sp["merge"]),
                             hub_cols=sp["hub"],
-                            compute_dtype=sp["dtype"])
+                            compute_dtype=sp["dtype"],
+                            window_dp=bool(sp["windowdp"]))
         pk = tuned.packed
         tag = (f"a={sp['a']} d={sp['d']} G={sp['g']} C={sp['c']} "
                f"H={sp['hub']}"
                + (" pallas" if sp["pallas"] else "")
                + (" apanels" if sp["apanels"] else "")
+               + ("" if sp["windowdp"] else " legacy-carve")
                + (f" {sp['dtype']}" if sp["dtype"] != "tf32" else ""))
         runner = HybridSDDMM(pk, compute_dtype=sp["dtype"],
                              k_chunks=sp["c"],

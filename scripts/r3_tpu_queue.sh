@@ -19,15 +19,15 @@ run() {
 # --- 1. a_layout x pallas at K=128 on the block regimes ---
 run probe_apanels_clustered16_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 128 --skip-check --configs \
-  "a=0.3,d=0.05;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1"
+  "a=0.3,d=0.05;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1;a=0.3,d=0.05,pallas=1,apanels=1,windowdp=0"
 
 run probe_apanels_banded_r3.log python scripts/probe_configs.py \
   --matrix banded --k 128 --skip-check --configs \
-  "a=0.3,d=0.0,pallas=1;a=0.3,d=0.0,pallas=1,apanels=1;a=0.3,d=0.0,apanels=1"
+  "a=0.3,d=0.0,pallas=1;a=0.3,d=0.0,pallas=1,apanels=1;a=0.3,d=0.0,apanels=1;a=0.3,d=0.0,pallas=1,apanels=1,windowdp=0"
 
 run probe_apanels_clustered128_r3.log python scripts/probe_configs.py \
   --matrix clustered128 --k 128 --skip-check --configs \
-  "a=0.5,d=0.0;a=0.5,d=0.0,apanels=1"
+  "a=0.5,d=0.0;a=0.5,d=0.0,apanels=1;a=0.5,d=0.0,apanels=1,windowdp=0"
 
 run probe_apanels_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 128 --skip-check --configs \

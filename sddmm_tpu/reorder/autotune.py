@@ -390,7 +390,8 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
                 merge_superpanels: bool = True,
                 compute_dtype: str = "tf32",
                 method: str = "auto",
-                hub_cols: int = 0) -> TunedConfig:
+                hub_cols: int = 0,
+                window_dp: bool = True) -> TunedConfig:
     """Build a TunedConfig for an explicit (alpha, delta, G, C, merge)
     choice — the deterministic path bench.py uses with the committed
     per-matrix configs (results/tuned_configs.json), mirroring the
@@ -409,7 +410,7 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
     bsmr = BSMR(alpha, delta, csr, method=method, group_size=group_size,
                 col_rank=rank, hub_cols=hub_cols)
     packed = pack(csr, bsmr, k_hint=k, merge_superpanels=merge_superpanels,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype, window_dp=window_dp)
     return TunedConfig(alpha, delta, merge_superpanels, group_size,
                        k_chunks, estimate_ms(packed, k, compute_dtype,
                                              k_chunks), packed, bsmr,
