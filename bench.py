@@ -221,6 +221,8 @@ def main():
 
         log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
             f"G={tuned.group_size} C={tuned.k_chunks} H={tuned.hub_cols} "
+            f"pallas={getattr(tuned, 'use_pallas', False)} "
+            f"aL={getattr(tuned, 'a_layout', 'rows')} "
             f"merge={tuned.merge_superpanels}"
             f"{' [committed]' if cfg is not None else ' [retuned]'}) "
             f"nS={packed.num_super} nQ={packed.num_quads} "

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--skip-greedy", action="store_true")
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from sddmm_tpu import native
     from sddmm_tpu.data import generate
     from sddmm_tpu.reorder.device_cluster import batched_cluster_device

@@ -40,11 +40,11 @@ run probe_k256_clustered16_r3.log python scripts/probe_configs.py \
 
 run probe_k256_clustered128_r3.log python scripts/probe_configs.py \
   --matrix clustered128 --k 256 --skip-check --configs \
-  "a=0.5,d=0.05;a=0.5,d=0.0,apanels=1;a=0.5,d=0.05,c=2,apanels=1;a=0.5,d=0.0,pallas=1,apanels=1"
+  "a=0.5,d=0.05;a=0.5,d=0.05,apanels=1;a=0.5,d=0.05,c=2,apanels=1;a=0.5,d=0.05,pallas=1,apanels=1"
 
 run probe_k256_banded_r3.log python scripts/probe_configs.py \
   --matrix banded --k 256 --skip-check --configs \
-  "a=0.3,d=0.05;a=0.3,d=0.0,apanels=1;a=0.3,d=0.0,pallas=1,apanels=1;a=0.3,d=0.05,c=2,apanels=1"
+  "a=0.3,d=0.05;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1,apanels=1;a=0.3,d=0.05,c=2,apanels=1"
 
 run probe_k256_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 256 --skip-check --configs \

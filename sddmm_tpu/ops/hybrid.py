@@ -60,6 +60,8 @@ from sddmm_tpu.data.sparse import CSR
 from sddmm_tpu.reorder.bsmr import BSMR
 from sddmm_tpu.reorder.pack import GROUP_LANES, PackedMatrix, pack
 
+PANEL_ROWS = config.ROW_PANEL_SIZE  # 16-row panels (pack.py carve unit)
+
 _PRECISION = {
     "float32": jax.lax.Precision.HIGHEST,
     "tf32": jax.lax.Precision.HIGH,
@@ -219,13 +221,13 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                 gids_arr, start, start + n_runs * b, axis=0)
             gids = gids.reshape(n_runs, b * LG)
             if a_panels is not None:
-                npan = rows_arr.shape[1] // 16
+                npan = rows_arr.shape[1] // PANEL_ROWS
                 pst = jax.lax.slice_in_dim(pst_arr, run_off,
                                            run_off + n_runs)
                 pids = pst[:, None] + jnp.arange(npan, dtype=jnp.int32)
                 pids = jnp.minimum(pids, jnp.int32(a_panels.shape[0] - 1))
                 a_run = jnp.take(a_panels, pids, axis=0).reshape(
-                    n_runs, npan * 16, a_panels.shape[2])
+                    n_runs, npan * PANEL_ROWS, a_panels.shape[2])
             else:
                 a_run = jnp.take(a_pad, run_rows, axis=0)  # (n, R, K)
             run_off += n_runs
@@ -457,7 +459,10 @@ class HybridSDDMM:
         (a_pad, a_panels) pair produced by prepare_operands /
         device_prepare under ``a_layout='panels'``."""
         if isinstance(a_ops, (tuple, list)):
-            return a_ops[0], a_ops[1]
+            # a rows-layout runner given panels-prepared operands just
+            # ignores the relayout (it has no *_pst arrays to use it)
+            return a_ops[0], (a_ops[1] if self.a_layout == "panels"
+                              else None)
         if self.a_layout == "panels":
             raise ValueError(
                 "a_layout='panels' operands must come from "
@@ -483,8 +488,8 @@ class HybridSDDMM:
         if self.a_layout == "panels":
             k = a_pad.shape[1]
             ap = a_pad[np.asarray(self.packed.a_row_gather)]
-            ap = np.concatenate([ap.reshape(-1, 16, k),
-                                 np.zeros((1, 16, k), a_pad.dtype)])
+            ap = np.concatenate([ap.reshape(-1, PANEL_ROWS, k),
+                                 np.zeros((1, PANEL_ROWS, k), a_pad.dtype)])
             a_dev = (a_dev, jnp.asarray(ap).astype(adt))
         return a_dev, jnp.asarray(bt_phys).astype(bdt)
 
@@ -499,8 +504,8 @@ class HybridSDDMM:
         if self.a_layout == "panels":
             k = a_pad.shape[1]
             ap = jnp.take(a_pad, self._a_panel_gather, axis=0)
-            ap = jnp.concatenate([ap.reshape(-1, 16, k),
-                                  jnp.zeros((1, 16, k), a_pad.dtype)])
+            ap = jnp.concatenate([ap.reshape(-1, PANEL_ROWS, k),
+                                  jnp.zeros((1, PANEL_ROWS, k), a_pad.dtype)])
             a_dev = (a_pad, ap)
         if self.is_identity_layout:
             return a_dev, bt_pad[None]

@@ -590,13 +590,11 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                              dtype=np.int64, count=num_cont)
                  if num_cont else np.zeros(0, dtype=np.int64))
 
-    fam_cids: dict[int, np.ndarray] = {}
     fam_tile_cid: dict[int, np.ndarray] = {}
     fam_gids_arr: dict[int, np.ndarray] = {}
     fam_buckets: dict[int, list[tuple[int, int, int]]] = {}
     for f, cids_l in fam_conts.items():
         cids = np.asarray(cids_l, dtype=np.int64)
-        fam_cids[f] = cids
         b_of = cont_bucket[cids] if len(cids) else cids
         # bucket run-lengths (cids sorted by bucket): (b, start_tile, n)
         buckets = []
@@ -791,7 +789,10 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # nnz-sized scatter through inv_idx — not a packed_size-sized
     # tile-table expansion (which was ~70% of pack() host time).
     F = res_base + len(res_csr)
-    assert F < 2**31, "packed flat vector exceeds int32 index range"
+    if F >= 2**31:
+        raise ValueError(
+            f"packed flat vector has {F} slots, exceeding the int32 "
+            "index range of the packed metadata")
     packed_rows = np.full(F, m, dtype=np.int32)
     packed_cols = np.full(F, n, dtype=np.int32)
     packed_rows[inv_idx] = entry_rows
