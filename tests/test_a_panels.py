@@ -74,6 +74,21 @@ def test_panels_requires_prepared_operands():
         r.run_padded(a_pad, bt_pad)
 
 
+def test_rows_runner_accepts_panels_operands():
+    # a rows-layout runner must ignore (not crash on) the panel relayout
+    # in panels-prepared operands
+    csr = generate.block_clustered(10, 9, block_prob=0.35, seed=13)
+    p = pack(csr, BSMR(0.3, 0.1, csr))
+    a = make_dense(csr.m, 32, seed=1)
+    b = make_dense(32, csr.n, seed=2)
+    ops = HybridSDDMM(p, compute_dtype="float32",
+                      a_layout="panels").prepare_operands(a, b=b)
+    rows_runner = HybridSDDMM(p, compute_dtype="float32")
+    out = np.asarray(rows_runner.run_padded(*ops, order="csr"))
+    golden = sddmm_reference(a, b, csr)
+    np.testing.assert_allclose(out, golden, rtol=1e-4)
+
+
 def test_panels_device_prepare_matches():
     import jax.numpy as jnp
     csr = generate.block_clustered(12, 10, block_prob=0.35, seed=11)
