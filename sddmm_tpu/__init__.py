@@ -18,7 +18,8 @@ Layer map (TPU-first, not a port):
 - ``sddmm_tpu.parallel`` — multi-chip sharding of the hybrid SDDMM over a
   ``jax.sharding.Mesh`` (new capability; the reference is single-GPU).
 - ``sddmm_tpu.models``   — model families built on the ops: sparse matrix
-  factorization (ALS-style training) and graph attention.
+  factorization (ALS-style training), graph attention, and block-sparse
+  transformer attention (sliding-window + global-token masks).
 - ``sddmm_tpu.utils``    — logger ([key : value] format compatible with the
   reference's analyze_results schema), timing, tolerance checks, options.
 - ``sddmm_tpu.native``   — optional C++ (OpenMP) host preprocessing

@@ -83,3 +83,53 @@ def test_distributed_factorization_trains():
     params, losses = model.fit(csr.values, steps=25)
     assert losses[-1] < losses[0] * 0.9, losses[::8]
     assert np.isfinite(losses[-1])
+
+
+def test_attention_mask_structure():
+    from sddmm_tpu.models import make_attention_mask
+    mask = make_attention_mask(96, window=8, num_global=3)
+    assert mask.m == mask.n == 96
+    d = mask.to_dense() > 0
+    assert d.diagonal().all()              # self-attention
+    assert d[:, :3].all() and d[:3, :].all()  # global rows/cols
+    assert not d[50, 20]                   # outside window, not global
+    causal = make_attention_mask(64, window=8, num_global=2, causal=True)
+    dc = causal.to_dense() > 0
+    iu = np.triu_indices(64, k=1)
+    assert not dc[iu].any()                # strictly causal
+
+
+def test_block_sparse_attention_matches_dense():
+    import jax
+    from sddmm_tpu.models import BlockSparseAttention, make_attention_mask
+    from sddmm_tpu.models.block_sparse_attention import (
+        dense_reference_attention)
+    mask = make_attention_mask(160, window=12, num_global=4)
+    model = BlockSparseAttention(mask, feature_dim=24, num_heads=2,
+                                 head_dim=16)
+    params = model.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(5).standard_normal((160, 24)).astype(
+        np.float32)
+    got = np.asarray(model(params, x))
+    want = dense_reference_attention(params, x, mask)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_block_sparse_attention_grad_flows():
+    import jax
+    import jax.numpy as jnp
+    from sddmm_tpu.models import BlockSparseAttention, make_attention_mask
+    mask = make_attention_mask(64, window=6, num_global=2, causal=True)
+    model = BlockSparseAttention(mask, feature_dim=8, num_heads=1,
+                                 head_dim=8)
+    params = model.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (64, 8)).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum(model(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(np.abs(np.asarray(g)).max()) > 0
