@@ -124,6 +124,41 @@ def main(argv=None) -> int:
             tot = tot + jnp.sum(a_run.astype(jnp.float32))
         return tot
 
+    # panel-major A gather (a_layout="panels"): same rows via one 16-row
+    # descriptor per panel
+    from sddmm_tpu.ops.hybrid import PANEL_ROWS
+    first_panel = packed.cont_panel_ids[packed.cont_panel_off[:-1]]
+    fam_runoff = {}
+    pst_segs = []
+    for fname in ("super", "quad", "pair", "group"):
+        run_cont = getattr(packed, f"{fname}_run_cont")
+        pst_all = (jnp.asarray(first_panel[run_cont], dtype=jnp.int32)
+                   if len(run_cont) else jnp.zeros(0, jnp.int32))
+        fam_runoff[fname] = [pst_all, 0]
+    for fname, rows_h in (("super", 128), ("quad", 64), ("pair", 32),
+                          ("group", 16)):
+        off = 0
+        for (bk, start, n_runs) in getattr(packed, f"{fname}_buckets"):
+            pst_segs.append((fam_runoff[fname][0], off, n_runs,
+                             rows_h // PANEL_ROWS))
+            off += n_runs
+    ap_np = np.asarray(a_pad)[np.asarray(packed.a_row_gather)]
+    ap_np = np.concatenate([ap_np.reshape(-1, PANEL_ROWS, args.k),
+                            np.zeros((1, PANEL_ROWS, args.k),
+                                     ap_np.dtype)])
+    a_panels = jnp.asarray(ap_np)
+
+    def body_a_gather_panels(cr, a_panels):
+        tot = jnp.float32(0)
+        for pst_all, off, n_runs, npan in pst_segs:
+            pst = jax.lax.slice_in_dim(live_mask(cr, pst_all), off,
+                                       off + n_runs)
+            pids = pst[:, None] + jnp.arange(npan, dtype=jnp.int32)
+            pids = jnp.minimum(pids, jnp.int32(a_panels.shape[0] - 1))
+            a_run = jnp.take(a_panels, pids, axis=0)
+            tot = tot + jnp.sum(a_run.astype(jnp.float32))
+        return tot
+
     # dots with pre-gathered operands
     pre = []
     for rows_arr, gids_arr, bk, start, n_runs in segs:
@@ -222,12 +257,16 @@ def main(argv=None) -> int:
     for name, body in (("dense_path", body_dense),
                        ("b_gather", body_b_gather),
                        ("a_gather", body_a_gather),
+                       ("a_gather_panels", body_a_gather_panels),
                        ("dots_pregathered", body_dots),
                        ("residual_path", body_residual),
                        ("res_a_gather", body_res_a_gather),
                        ("res_b_gather", body_res_b_gather)):
         if name == "dots_pregathered":
             ms = measure_loop_ms(body, tuple(pre_flat), iterations=it,
+                                 repeats=4)
+        elif name == "a_gather_panels":
+            ms = measure_loop_ms(body, (a_panels,), iterations=it,
                                  repeats=4)
         else:
             ms = measure_loop_ms(body, (a_pad, bt_phys), iterations=it,
