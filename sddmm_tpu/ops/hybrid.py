@@ -428,15 +428,25 @@ class HybridSDDMM:
                                            dtype=jnp.int32))
         self._col_order_dev = None
         self._inv_idx = put(jnp.asarray(packed.inv_idx, dtype=jnp.int32))
-        self._csr_dest = put(jnp.asarray(packed.csr_dest, dtype=jnp.int32))
-        self._packed_rows = put(jnp.asarray(packed.packed_rows,
-                                            dtype=jnp.int32))
-        self._packed_cols = put(jnp.asarray(packed.packed_cols,
-                                            dtype=jnp.int32))
+        # light packs (pack(..., full_metadata=False), autotune
+        # candidates) omit the CSR-order/consumer metadata; the packed-
+        # order compute path never touches it
+        self._csr_dest = (put(jnp.asarray(packed.csr_dest,
+                                          dtype=jnp.int32))
+                          if packed.csr_dest is not None else None)
+        self._packed_rows = (put(jnp.asarray(packed.packed_rows,
+                                             dtype=jnp.int32))
+                             if packed.packed_rows is not None else None)
+        self._packed_cols = (put(jnp.asarray(packed.packed_cols,
+                                             dtype=jnp.int32))
+                             if packed.packed_cols is not None else None)
 
     @property
     def packed_rows(self) -> jax.Array:
         """(F,) original row id per packed slot (sentinel = m)."""
+        if self._packed_rows is None:
+            raise ValueError("light packing (full_metadata=False) has no "
+                             "packed_rows; re-pack with full metadata")
         return self._packed_rows
 
     @property
@@ -566,6 +576,10 @@ class HybridSDDMM:
 
     def to_csr_order(self, flat: jax.Array) -> jax.Array:
         """Convert a packed-order flat value vector to CSR entry order."""
+        if self._csr_dest is None:
+            raise ValueError("light packing (full_metadata=False) has no "
+                             "CSR-order metadata; re-pack with full "
+                             "metadata")
         strategy = ("sort" if flat.shape[0] > 200_000
                     and jax.devices()[0].platform != "cpu" else "gather")
         return _to_csr_order_jit(flat, self._csr_dest, self._inv_idx,

@@ -354,8 +354,12 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
                 for delta in deltas:
                     bsmr.run_col_reordering(csr, delta=delta)
                     for merge in merges_hc:
+                        # light pack: candidates only need the layout /
+                        # est_ms / packed-order kernel inputs; the
+                        # winner is re-packed with full metadata below
                         packed = pack(csr, bsmr, merge_superpanels=merge,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      full_metadata=False)
                         packs.append((alpha, g, delta, merge, hc, packed,
                                       copy.copy(bsmr)))
 
@@ -379,9 +383,15 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
         candidates.sort(key=lambda t: t.est_ms)
         if not measure:
             out[k] = candidates[0]
-            continue
-        out[k] = _shootout(csr, k, candidates, compute_dtype,
-                           measure_top, measure_iterations, verbose)
+        else:
+            out[k] = _shootout(csr, k, candidates, compute_dtype,
+                               measure_top, measure_iterations, verbose)
+        win = out[k]
+        if win.packed.packed_rows is None:
+            # re-pack the winner with full (CSR-order/consumer) metadata
+            win.packed = pack(csr, win.bsmr,
+                              merge_superpanels=win.merge_superpanels,
+                              compute_dtype=compute_dtype)
     return out
 
 

@@ -255,7 +255,14 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          pair_panels: bool = True,
          absorb_residual: bool = True,
          compute_dtype: str = "tf32",
-         window_dp: bool = True) -> PackedMatrix:
+         window_dp: bool = True,
+         full_metadata: bool = True) -> PackedMatrix:
+    """full_metadata=False skips the packed_size-sized metadata
+    (per-tile CSR cubes, packed_rows/cols, csr_dest) — those arrays cost
+    ~85% of pack() host time and only the autotune *winner* needs them
+    (HybridSDDMM kernel timing in packed order does not).  Light packs
+    raise on any CSR-order / validation / multi-chip use; re-pack with
+    full metadata first (autotune does this for the winner)."""
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
     G = int(bsmr.group_size)
@@ -640,8 +647,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         else:
             t_rows = np.zeros((0, rows_h), dtype=np.int64)
         t_cols = cols_of_groups(t_gids.reshape(-1)).reshape(nT, GROUP_LANES)
-        t_csr = np.full((nT, rows_h, GROUP_LANES), config.NULL_INDEX,
-                        dtype=np.int32)
+        t_csr = (np.full((nT, rows_h, GROUP_LANES), config.NULL_INDEX,
+                         dtype=np.int32) if full_metadata else None)
         return t_rows, t_gids, t_cols, t_csr
 
     super_rows, super_gids, super_cols, super_csr = build_family(_FAM_SUPER)
@@ -750,10 +757,12 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     entry_idx = np.arange(csr.nnz, dtype=np.int64)
     # Fill the tile-major csr arrays (validation / multi-chip layout).
     lane_m = lgrp_e * G + entry_member
-    for f, csr_arr in ((_FAM_SUPER, super_csr), (_FAM_QUAD, quad_csr),
-                       (_FAM_PAIR, pair_csr), (_FAM_GROUP, group_csr)):
-        sel = matched & (fam_e == f)
-        csr_arr[tile_e[sel], local_row[sel], lane_m[sel]] = entry_idx[sel]
+    if full_metadata:
+        for f, csr_arr in ((_FAM_SUPER, super_csr), (_FAM_QUAD, quad_csr),
+                           (_FAM_PAIR, pair_csr), (_FAM_GROUP, group_csr)):
+            sel = matched & (fam_e == f)
+            csr_arr[tile_e[sel], local_row[sel],
+                    lane_m[sel]] = entry_idx[sel]
 
     if np.any(matched & hub_e):
         raise AssertionError("hub column matched a dense tile "
@@ -793,15 +802,18 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         raise ValueError(
             f"packed flat vector has {F} slots, exceeding the int32 "
             "index range of the packed metadata")
-    packed_rows = np.full(F, m, dtype=np.int32)
-    packed_cols = np.full(F, n, dtype=np.int32)
-    packed_rows[inv_idx] = entry_rows
-    packed_cols[inv_idx] = col_idx
-    csr_dest = np.full(F, -1, dtype=np.int32)
-    csr_dest[inv_idx] = np.arange(csr.nnz, dtype=np.int32)
-    spill = csr_dest < 0
-    csr_dest[spill] = csr.nnz + np.arange(int(spill.sum()),
-                                          dtype=np.int32)
+    if full_metadata:
+        packed_rows = np.full(F, m, dtype=np.int32)
+        packed_cols = np.full(F, n, dtype=np.int32)
+        packed_rows[inv_idx] = entry_rows
+        packed_cols[inv_idx] = col_idx
+        csr_dest = np.full(F, -1, dtype=np.int32)
+        csr_dest[inv_idx] = np.arange(csr.nnz, dtype=np.int32)
+        spill = csr_dest < 0
+        csr_dest[spill] = csr.nnz + np.arange(int(spill.sum()),
+                                              dtype=np.int32)
+    else:
+        packed_rows = packed_cols = csr_dest = None
 
     # Container topology for multi-chip partitioning.
     cont_panel_off = np.zeros(num_cont + 1, dtype=np.int64)
@@ -842,8 +854,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         hub_cols=H,
         hub_rows=hub_rows_arr, hub_rank=hub_rank_arr, hub_csr=hub_csr_arr,
         inv_idx=inv_idx,
-        packed_rows=packed_rows.astype(np.int32),
-        packed_cols=packed_cols.astype(np.int32),
+        packed_rows=packed_rows,
+        packed_cols=packed_cols,
         csr_dest=csr_dest,
         cont_panel_off=cont_panel_off,
         cont_panel_ids=cont_panel_ids,
