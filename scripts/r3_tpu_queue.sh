@@ -59,6 +59,10 @@ run probe_k32_apanels_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 32 --skip-check --configs \
   "a=0.3,d=0.0,g=4;a=0.3,d=0.0,g=4,apanels=1"
 
+# --- 4b. stage-level attribution of the panels layout ---
+run probe_breakdown_clustered16_r3.log python scripts/probe_breakdown.py \
+  --matrix clustered16 --k 128 --alpha 0.3 --delta 0.05
+
 # --- 5. reproducibility: two consecutive full bench runs on the
 #         committed configs (VERDICT r2 #1: agree within 10%) ---
 run bench_r3_runA.log python bench.py --verbose
