@@ -238,3 +238,32 @@ def test_bucket_merge_ratio_bounded():
     real_cells = csr.nnz - packed.nnz_res
     total_cells = packed.packed_size - packed.nnz_res
     assert total_cells < 3 * real_cells, (total_cells, real_cells)
+
+
+def test_light_pack_skips_metadata_and_raises_on_csr_use():
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.data.generate import make_dense
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.reorder.bsmr import BSMR
+    from sddmm_tpu.reorder.pack import pack
+    csr = generate.block_clustered(10, 9, block_prob=0.35, seed=21)
+    light = pack(csr, BSMR(0.3, 0.1, csr), full_metadata=False)
+    full = pack(csr, BSMR(0.3, 0.1, csr))
+    assert light.packed_rows is None and light.csr_dest is None
+    assert light.super_csr is None or light.num_super == 0
+    # layout identical to the full pack
+    assert light.packed_size == full.packed_size
+    np.testing.assert_array_equal(light.inv_idx, full.inv_idx)
+    np.testing.assert_array_equal(light.group_gids, full.group_gids)
+    r = HybridSDDMM(light, compute_dtype="float32")
+    a = make_dense(csr.m, 32, seed=1)
+    b = make_dense(32, csr.n, seed=2)
+    ops = r.prepare_operands(a, b=b)
+    packed_out = np.asarray(r.run_padded(*ops, order="packed"))
+    full_out = np.asarray(HybridSDDMM(full, compute_dtype="float32")
+                          .run_padded(*ops, order="packed"))
+    np.testing.assert_allclose(packed_out, full_out)
+    with pytest.raises(ValueError):
+        r.run_padded(*ops, order="csr")
+    with pytest.raises(ValueError):
+        _ = r.packed_rows
