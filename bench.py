@@ -100,6 +100,9 @@ def main():
     parser.add_argument("--retune", action="store_true",
                         help="re-run the on-device autotune shootout "
                              "instead of the committed tuned configs")
+    parser.add_argument("--save-tuned", action="store_true",
+                        help="with --retune: write each winner back to "
+                             "results/tuned_configs.json")
     parser.add_argument("--compute-dtype", default="tf32",
                         choices=["float32", "tf32", "mixed", "float16",
                                  "bfloat16"])
@@ -151,6 +154,24 @@ def main():
             tuned = autotune(csr, k=args.k,
                              compute_dtype=args.compute_dtype,
                              measure=on_device)
+            if args.save_tuned and not args.quick:
+                new_cfg = {"alpha": tuned.alpha, "delta": tuned.delta,
+                           "g": tuned.group_size, "c": tuned.k_chunks,
+                           "merge": tuned.merge_superpanels}
+                if tuned.hub_cols:
+                    new_cfg["hub"] = tuned.hub_cols
+                if getattr(tuned, "use_pallas", False):
+                    new_cfg["pallas"] = True
+                if getattr(tuned, "a_layout", "rows") != "rows":
+                    new_cfg["a_layout"] = tuned.a_layout
+                try:
+                    data = json.loads(TUNED_CONFIGS.read_text())
+                except (OSError, json.JSONDecodeError):
+                    data = {}
+                data.setdefault(f"k{args.k}", {})[name] = new_cfg
+                TUNED_CONFIGS.write_text(json.dumps(data, indent=4)
+                                         + "\n")
+                log(f"{name}: saved tuned config {new_cfg}")
         tuning_s[name] = round(time.perf_counter() - t0, 1)
         packed = tuned.packed
         runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,

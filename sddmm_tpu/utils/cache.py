@@ -26,6 +26,16 @@ def enable_persistent_cache(path: str | None = None) -> str:
         return ""
     cache_dir = path or env or _DEFAULT_DIR
     import jax
+    # XLA:CPU AOT cache entries embed host machine features and can
+    # SIGILL when loaded under a different flag set (observed
+    # cross-process feature mismatch warnings); CPU compiles are cheap
+    # anyway — cache only accelerator compilations.  Checked via the
+    # configured platform string, NOT jax.devices(): initializing the
+    # backend here would hang during tunnel outages.
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if platforms.split(",")[0] == "cpu":
+        return ""
     if jax.config.jax_compilation_cache_dir != cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache every compilation that took >= 0.5 s (default 1 s)
