@@ -141,6 +141,16 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
 
+    # Containers span CONSECUTIVE panels — the invariant the vectorized
+    # tile build and the a_layout="panels" kernel path rely on.
+    if packed.cont_panel_off is not None:
+        off = packed.cont_panel_off
+        ids = packed.cont_panel_ids
+        for c in range(len(off) - 1):
+            mem = ids[off[c]:off[c + 1]]
+            assert np.array_equal(mem, np.arange(mem[0], mem[0] + len(mem))), \
+                f"container {c} panels not consecutive: {mem}"
+
     # Coordinate consistency of the dense tile families.
     rows_of = csr.row_indices()
     for csr_arr, rows_arr, cols_arr, fam in (
