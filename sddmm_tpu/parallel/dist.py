@@ -180,7 +180,8 @@ class _ShardPlan:
             # bucket sizes are sorted ascending and unique by construction
             dev_runs = {b: [[] for _ in range(R)] for b in bsizes}
             for (b, t0, cid) in fruns:
-                dev_runs[b][dev_of_unit[unit_of_cont[cid]]].append(t0)
+                dev_runs[b][dev_of_unit[unit_of_cont[cid]]].append(
+                    (t0, cid))
             lb = []
             start_local = 0
             for b in bsizes:
@@ -223,7 +224,8 @@ class _ShardPlan:
                     np.arange(R, dtype=np.int64),
                     [len(dev_runs[b][d]) for d in range(R)])
                 t0_arr = np.concatenate(
-                    [np.asarray(dev_runs[b][d], dtype=np.int64)
+                    [np.asarray([t0 for (t0, _) in dev_runs[b][d]],
+                                dtype=np.int64)
                      for d in range(R)]) if len(d_arr) else \
                     np.zeros(0, dtype=np.int64)
                 j_arr = np.concatenate(
@@ -237,7 +239,9 @@ class _ShardPlan:
                     d_rep = np.repeat(d_arr, b)
                     slot = (start_local + j_arr[:, None] * b
                             + np.arange(b, dtype=np.int64)).reshape(-1)
-                    # all b tiles of a run share the same rows
+                    # all b tiles of a run share the same rows; the
+                    # run's first row sits at its first local panel's
+                    # 16-row boundary (panel-blocked local A layout)
                     rloc = local_of_row[rows_arr[t0_arr]]  # (nrb, rows_h)
                     t_rows[d_rep, slot] = np.repeat(rloc, b, axis=0)
                     t_gids[d_rep, slot] = gids_arr[tile_src]
@@ -253,6 +257,37 @@ class _ShardPlan:
                 seg_off += n_max * run_cells
             self.tile_rows[fname] = t_rows
             self.tile_gids[fname] = t_gids
+
+        # Per-run first LOCAL panel per family (a_layout="panels"):
+        # containers occupy consecutive local panels (unit = whole
+        # container on one device, and panel_dev is monotone so local
+        # slots follow global panel order); padded runs carry the
+        # sentinel panel rows_max/16.
+        starts_d = np.searchsorted(panel_dev, np.arange(R)) \
+            if num_panels else np.zeros(R, dtype=np.int64)
+        local_panel = (np.arange(num_panels, dtype=np.int64)
+                       - starts_d[panel_dev]) if num_panels else \
+            np.zeros(0, dtype=np.int64)
+        cfirst = (packed.cont_panel_ids[packed.cont_panel_off[:-1]]
+                  .astype(np.int64) if nC else np.zeros(0, np.int64))
+        sent_panel = self.rows_max // 16
+        self.run_pst = {}
+        for fname, rows_h in _FAMS:
+            runs_local = sum(n_max for (_, _, n_max)
+                             in self.local_buckets[fname])
+            pst = np.full((R, runs_local), sent_panel, dtype=np.int32)
+            roff = 0
+            dev_runs, _ = fam_plan[fname]
+            for (b, start_local, n_max) in self.local_buckets[fname]:
+                for d in range(R):
+                    cids = np.asarray(
+                        [cid for (_, cid) in dev_runs[b][d]],
+                        dtype=np.int64)
+                    if len(cids):
+                        pst[d, roff:roff + len(cids)] = \
+                            local_panel[cfirst[cids]]
+                roff += n_max
+            self.run_pst[fname] = pst
 
         # Dense hub slab: per-device (rows_max, H) block computed from the
         # device's panel-local A rows (kernel order: families ++ slab ++
@@ -306,11 +341,14 @@ class DistributedHybridSDDMM:
 
     def __init__(self, packed: PackedMatrix, mesh: Mesh,
                  compute_dtype: str = "float32", k_chunks: int = 0,
-                 default_order: str = "packed"):
+                 default_order: str = "packed", a_layout: str = "rows"):
         self.packed = packed
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.default_order = default_order
+        if a_layout not in ("rows", "panels"):
+            raise ValueError(f"unknown a_layout {a_layout!r}")
+        self.a_layout = a_layout
         R = mesh.shape["rows"]
         self.F = mesh.shape.get("feat", 1)
         self.k_chunks = int(k_chunks) if k_chunks else self.F
@@ -332,6 +370,9 @@ class DistributedHybridSDDMM:
         self._res_rows = put2(i32(plan.res_rows))
         self._res_gids = put2(i32(plan.res_gids))
         self._res_member = put2(i32(plan.res_member))
+        self._run_pst = {f: put2(i32(plan.run_pst[f]))
+                         for f, _ in _FAMS} if a_layout == "panels" \
+            else None
         self._csr_dest = put2(jnp.asarray(plan.csr_dest, dtype=jnp.int32))
         self._a_sharding = NamedSharding(mesh, P("rows", None, "feat"))
         self._bt_sharding = NamedSharding(mesh, P("feat", None, None))
@@ -352,12 +393,17 @@ class DistributedHybridSDDMM:
         if k % self.k_chunks:
             raise ValueError(f"K={k} not divisible by C={self.k_chunks}")
         a_pad = np.concatenate([a, np.zeros((1, k), a.dtype)])
-        # panel-local copies + per-device sentinel zero row
+        # panel-local copies + per-device sentinel zero rows (one row
+        # suffices for the row-gather layout; a_layout="panels" pads a
+        # whole 16-row sentinel PANEL so the local A reshapes directly
+        # into (nP_loc+1, 16, K) with the sentinel panel last — the row
+        # sentinel rows_max is its first row either way)
         order = np.where(self.plan.a_rows_local < self.packed.m,
                          self.plan.a_rows_local, self.packed.m)
+        n_sent = 16 if self.a_layout == "panels" else 1
         a_sh = a_pad[order]                      # (R, rows_max, K)
         a_sh = np.concatenate(
-            [a_sh, np.zeros((self.plan.R, 1, k), a.dtype)], axis=1)
+            [a_sh, np.zeros((self.plan.R, n_sent, k), a.dtype)], axis=1)
         bt_pad = np.concatenate([bt, np.zeros((1, k), bt.dtype)])
         bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
         return (jax.device_put(jnp.asarray(a_sh).astype(adt),
@@ -380,11 +426,12 @@ class DistributedHybridSDDMM:
         k = a_pad.shape[1]
         order = np.where(plan.a_rows_local < self.packed.m,
                          plan.a_rows_local, self.packed.m)
+        n_sent = 16 if self.a_layout == "panels" else 1
         a_sh = jnp.take(a_pad, jnp.asarray(order.reshape(-1),
                                            dtype=jnp.int32), axis=0)
         a_sh = a_sh.reshape(plan.R, plan.rows_max, k)
         a_sh = jnp.concatenate(
-            [a_sh, jnp.zeros((plan.R, 1, k), a_sh.dtype)], axis=1)
+            [a_sh, jnp.zeros((plan.R, n_sent, k), a_sh.dtype)], axis=1)
         a_sh = jax.lax.with_sharding_constraint(a_sh, self._a_sharding)
         p = self.packed
         col_order = np.where(p.col_order < p.n, p.col_order, p.n)
@@ -419,15 +466,35 @@ class DistributedHybridSDDMM:
         lb = plan.local_buckets
         compute_dtype = self.compute_dtype
 
+        panels = self.a_layout == "panels"
+
         def local_step(a_loc, bt_loc, s_rows, s_gids, q_rows, q_gids,
                        p_rows, p_gids, g_rows, g_gids, r_rows, r_gids,
-                       r_member):
+                       r_member, s_pst=None, q_pst=None, p_pst=None,
+                       g_pst=None):
+            a_dev = a_loc[0]
+            a_panels = None
+            if panels:
+                # the local A is panel-blocked: a free reshape gives the
+                # panel-major layout, sentinel panel last (prepared with
+                # a 16-row sentinel pad).  The kernel's row view must
+                # stay (rows_max+1, K) — the hub slab sizes itself from
+                # a_pad.shape[0]-1.
+                k_ = a_dev.shape[1]
+                a_panels = a_dev.reshape(-1, 16, k_)
+                a_dev = jax.lax.slice_in_dim(a_dev, 0, plan.rows_max + 1,
+                                             axis=0)
             flat = _hybrid_packed_jit(
-                a_loc[0], bt_loc, s_rows[0], s_gids[0], q_rows[0],
+                a_dev, bt_loc, s_rows[0], s_gids[0], q_rows[0],
                 q_gids[0], p_rows[0], p_gids[0], g_rows[0], g_gids[0],
                 r_rows[0], r_gids[0], r_member[0],
                 hub_start=(jnp.int32(0) if self.packed.hub_cols
                            else None),
+                a_panels=a_panels,
+                super_pst=s_pst[0] if panels else None,
+                quad_pst=q_pst[0] if panels else None,
+                pair_pst=p_pst[0] if panels else None,
+                group_pst=g_pst[0] if panels else None,
                 compute_dtype=compute_dtype,
                 g=self.packed.group_size, kc=kc,
                 super_buckets=lb["super"], quad_buckets=lb["quad"],
@@ -437,11 +504,14 @@ class DistributedHybridSDDMM:
 
         spec2 = P("rows", None)
         spec3 = P("rows", None, None)
+        in_specs = [P("rows", None, "feat"), P("feat", None, None),
+                    spec3, spec3, spec3, spec3, spec3, spec3,
+                    spec3, spec3, spec2, spec2, spec2]
+        if panels:
+            in_specs += [spec2, spec2, spec2, spec2]
         return shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P("rows", None, "feat"), P("feat", None, None),
-                      spec3, spec3, spec3, spec3, spec3, spec3,
-                      spec3, spec3, spec2, spec2, spec2),
+            in_specs=tuple(in_specs),
             out_specs=spec2)
 
     @functools.cached_property
@@ -452,10 +522,13 @@ class DistributedHybridSDDMM:
             k = a_sh.shape[2]
             if k not in cache:
                 cache[k] = jax.jit(self._make_sharded_fn(k))
-            return cache[k](
-                a_sh, bt_sh, *self._tiles["super"], *self._tiles["quad"],
-                *self._tiles["pair"], *self._tiles["group"],
-                self._res_rows, self._res_gids, self._res_member)
+            args = [a_sh, bt_sh, *self._tiles["super"],
+                    *self._tiles["quad"], *self._tiles["pair"],
+                    *self._tiles["group"],
+                    self._res_rows, self._res_gids, self._res_member]
+            if self._run_pst is not None:
+                args += [self._run_pst[f] for f, _ in _FAMS]
+            return cache[k](*args)
 
         return run
 
@@ -512,9 +585,11 @@ class DistributedHybridSDDMM:
         all-gather of the flat value vector appears)."""
         k = a_sh.shape[2]
         fn = jax.jit(self._make_sharded_fn(k))
-        args = (a_sh, bt_sh, *self._tiles["super"], *self._tiles["quad"],
+        args = [a_sh, bt_sh, *self._tiles["super"], *self._tiles["quad"],
                 *self._tiles["pair"], *self._tiles["group"],
-                self._res_rows, self._res_gids, self._res_member)
+                self._res_rows, self._res_gids, self._res_member]
+        if self._run_pst is not None:
+            args += [self._run_pst[f] for f, _ in _FAMS]
         return fn.lower(*args).compile().as_text()
 
 

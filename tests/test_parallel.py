@@ -200,3 +200,39 @@ def test_distributed_scale_mixed_families():
     want = sddmm_reference(a, b, csr)
     res = check_values(want, got)
     assert res.passed, res
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_distributed_panels_layout(packed_small, mesh_shape):
+    """a_layout='panels' on the sharded path: per-device panel-major A
+    built by a free reshape of the panel-blocked local copy."""
+    csr, packed = packed_small
+    mesh = make_mesh(mesh_shape, ("rows", "feat"))
+    dist = DistributedHybridSDDMM(packed, mesh, a_layout="panels")
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    got = np.asarray(dist(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, f"mesh {mesh_shape}: {res}"
+
+
+def test_distributed_panels_grouped_chunked_hub():
+    from sddmm_tpu.reorder.cols import cluster_columns, hub_first_rank
+
+    csr = generate.powerlaw_graph(256, avg_degree=10, seed=21)
+    order = cluster_columns(csr, 0.3)
+    rank = hub_first_rank(csr, 64, base_order=order)
+    bsmr = BSMR(0.3, 0.05, csr, group_size=4, col_rank=rank, hub_cols=64)
+    packed = pack(csr, bsmr)
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    dist = DistributedHybridSDDMM(packed, mesh, k_chunks=2,
+                                  a_layout="panels")
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    got = np.asarray(dist(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, res
