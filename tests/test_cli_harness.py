@@ -206,3 +206,17 @@ def test_fetch_suitesparse_mocked(tmp_path, monkeypatch, capsys):
     # malformed name is skipped with a message, not an exception
     fetch.fetch_suitesparse(["noslash"], out)
     assert "skip" in capsys.readouterr().err
+
+
+def test_update_tuned_configs_tag_roundtrip():
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "scripts"))
+    from update_tuned_configs import parse_tag
+    cfg = parse_tag("a=0.1 d=0.05 G=2 C=2 H=2048 pallas apanels")
+    assert cfg == {"alpha": 0.1, "delta": 0.05, "g": 2, "c": 2,
+                   "merge": True, "hub": 2048, "pallas": True,
+                   "a_layout": "panels"}
+    cfg2 = parse_tag("a=0.3 d=0.0 G=1 C=1 H=0 legacy-carve")
+    assert cfg2 == {"alpha": 0.3, "delta": 0.0, "g": 1, "c": 1,
+                    "merge": True, "window_dp": False}
