@@ -59,6 +59,12 @@ run probe_k32_apanels_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 32 --skip-check --configs \
   "a=0.3,d=0.0,g=4;a=0.3,d=0.0,g=4,apanels=1"
 
+# --- 4a. B-gather address-locality hypothesis (first-use gid order) ---
+run probe_gid_order_clustered16_r3.log python scripts/probe_gid_order.py \
+  --matrix clustered16 --k 128 --skip-check
+run probe_gid_order_powerlaw_r3.log python scripts/probe_gid_order.py \
+  --matrix powerlaw --k 128 --alpha 0.1 --skip-check
+
 # --- 4b. stage-level attribution of the panels layout ---
 run probe_breakdown_clustered16_r3.log python scripts/probe_breakdown.py \
   --matrix clustered16 --k 128 --alpha 0.3 --delta 0.05
