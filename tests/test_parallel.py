@@ -236,3 +236,22 @@ def test_distributed_panels_grouped_chunked_hub():
     want = sddmm_reference(a, b, csr)
     res = check_values(want, got)
     assert res.passed, res
+
+
+def test_distributed_panels_grad_flows(packed_small):
+    csr, packed = packed_small
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    dist = DistributedHybridSDDMM(packed, mesh, a_layout="panels")
+    k = 16
+    a_pad, bt_pad = dist.prepare_operands(
+        generate.make_dense(csr.m, k, seed=3),
+        b=generate.make_dense(k, csr.n, seed=4))
+    targets = jax.numpy.asarray(csr.values)
+
+    def loss(a_pad, bt_pad):
+        return ((dist.run_padded(a_pad, bt_pad, order="csr")
+                 - targets) ** 2).mean()
+
+    g = jax.grad(loss)(a_pad, bt_pad)
+    assert np.isfinite(np.asarray(g).sum())
+    assert np.abs(np.asarray(g)).max() > 0
