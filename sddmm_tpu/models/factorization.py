@@ -98,17 +98,35 @@ class SparseFactorizationModel:
 
         return train_step
 
-    def fit(self, targets, rng_key=None, steps: int = 100):
-        """targets: (nnz,) CSR-order observed values."""
+    def fit(self, targets, rng_key=None, steps: int = 100,
+            checkpoint_dir: str = None, checkpoint_every: int = 50):
+        """targets: (nnz,) CSR-order observed values.
+
+        With ``checkpoint_dir`` the params/optimizer/step state is
+        persisted every ``checkpoint_every`` steps (utils/checkpoint.py)
+        and a crashed fit resumes from the latest saved step."""
         rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
         params = self.init(rng_key)
         opt_state = self.optimizer.init(params)
+        start = 0
+        ck = None
+        if checkpoint_dir:
+            from sddmm_tpu.utils.checkpoint import Checkpointer
+            ck = Checkpointer(checkpoint_dir)
+            saved = ck.restore(like={"params": params, "opt": opt_state})
+            if saved is not None:
+                params = FactorizationParams(*saved["params"])
+                opt_state = saved["opt"]
+                start = int(ck.latest_step)
         step = self.make_train_step()
         targets_packed = self.pack_targets(targets)
         losses = []
-        for _ in range(steps):
+        for i in range(start, steps):
             params, opt_state, loss = step(params, opt_state, targets_packed)
             losses.append(float(loss))
+            if ck is not None and ((i + 1) % checkpoint_every == 0
+                                   or i + 1 == steps):
+                ck.save(i + 1, {"params": params, "opt": opt_state})
         return params, losses
 
     @staticmethod

@@ -133,3 +133,19 @@ def test_block_sparse_attention_grad_flows():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(np.abs(np.asarray(g)).max()) > 0
+
+
+def test_factorization_checkpoint_resume(tmp_path):
+    from sddmm_tpu.models import SparseFactorizationModel
+
+    csr = generate.block_clustered(8, 8, block_prob=0.4, seed=5)
+    tgt = np.random.default_rng(0).standard_normal(csr.nnz).astype(
+        np.float32)
+    d = str(tmp_path / "ck")
+    m = SparseFactorizationModel.from_csr(csr, 8)
+    m.fit(tgt, steps=20, checkpoint_dir=d, checkpoint_every=10)
+    # a fresh process/instance resumes from the latest saved step
+    m2 = SparseFactorizationModel.from_csr(csr, 8)
+    p2, l2 = m2.fit(tgt, steps=30, checkpoint_dir=d, checkpoint_every=10)
+    assert len(l2) == 10  # only steps 21..30 ran
+    assert np.isfinite(np.asarray(m2.forward(p2))).all()
