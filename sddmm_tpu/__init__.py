@@ -21,7 +21,8 @@ Layer map (TPU-first, not a port):
   factorization (ALS-style training), graph attention, and block-sparse
   transformer attention (sliding-window + global-token masks).
 - ``sddmm_tpu.utils``    — logger ([key : value] format compatible with the
-  reference's analyze_results schema), timing, tolerance checks, options.
+  reference's analyze_results schema), timing, tolerance checks, options,
+  persistent compilation cache, checkpoint/resume (orbax).
 - ``sddmm_tpu.native``   — optional C++ (OpenMP) host preprocessing
   accelerators with pure-Python fallbacks.
 """
