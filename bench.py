@@ -110,6 +110,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    if args.quick:
+        # --quick is the CPU smoke path (TPU-quick numbers are dispatch
+        # noise); pin CPU in-process — the env var is overridden by the
+        # axon sitecustomize, and touching a down tunnel hangs.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sddmm_tpu.utils.cache import enable_persistent_cache

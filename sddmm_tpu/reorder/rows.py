@@ -238,6 +238,32 @@ def _batched_cluster(order, block_ptr, block_idx, block_cnt, num_blocks,
     return cluster_of, num_clusters
 
 
+#: dense fp32 encoding budget for the device clustering path (bytes);
+#: (m_padded x num_blocks) must fit under this to auto-route on-device.
+DEVICE_CLUSTER_HAT_BUDGET = 2 << 30
+
+
+def _device_cluster_viable(m: int, num_blocks: int) -> bool:
+    """True when auto row clustering should run on the accelerator:
+    a non-CPU JAX backend is initialized-or-initializable, the env
+    kill-switch allows it, and the dense encoding matrix fits budget."""
+    import os
+
+    env = os.environ.get("SDDMM_TPU_DEVICE_CLUSTER", "").strip()
+    if env == "0":
+        return False
+    m_pad = -(-m // 2048) * 2048
+    fits = 4 * m_pad * max(num_blocks, 1) <= DEVICE_CLUSTER_HAT_BUDGET
+    if env == "1":
+        return fits
+    try:
+        import jax
+
+        return fits and jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
                    method: str = "auto",
                    col_block_size: Optional[int] = None,
@@ -256,7 +282,18 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
 
     auto = method == "auto"
     if auto:
-        method = "greedy" if len(order) <= 100_000 else "batched"
+        if len(order) <= 100_000:
+            method = "greedy"
+        else:
+            # Large matrices: prefer the accelerator-resident clustering
+            # when a non-CPU backend is up and the dense (m, B) encoding
+            # fits comfortably in HBM; else the host multi-leader path.
+            # (Reference runs clustering on-GPU,
+            # src/rowReordering.cu:1027-1095.)  Kill-switch:
+            # SDDMM_TPU_DEVICE_CLUSTER=0 forces host, =1 forces device.
+            method = ("device"
+                      if _device_cluster_viable(m, num_blocks)
+                      else "batched")
     # Early bail for matrices that refuse to cluster (power-law graphs):
     # greedy-cluster a *contiguous* sample of the dispersion order (rows
     # with identical occupancy patterns have identical dispersion, so

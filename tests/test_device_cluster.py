@@ -71,3 +71,21 @@ def test_device_empty_and_single():
     dev_cl0, dev_n0 = batched_cluster_device(
         np.zeros(0, dtype=np.int64), bp, bi, bc, nb, 0.3)
     assert dev_n0 == 0 and np.all(dev_cl0 == -1)
+
+
+def test_auto_routing_viability(monkeypatch):
+    """method='auto' routes large matrices to the device path only when
+    the backend is non-CPU (or forced), within the dense-hat budget."""
+    from sddmm_tpu.reorder import rows
+
+    # env kill-switch beats everything
+    monkeypatch.setenv("SDDMM_TPU_DEVICE_CLUSTER", "0")
+    assert not rows._device_cluster_viable(200_000, 64)
+    # forced on: only the memory budget gates
+    monkeypatch.setenv("SDDMM_TPU_DEVICE_CLUSTER", "1")
+    assert rows._device_cluster_viable(200_000, 64)
+    m_huge = (rows.DEVICE_CLUSTER_HAT_BUDGET // (4 * 64)) + 4096
+    assert not rows._device_cluster_viable(m_huge, 64)
+    # default: tests run on CPU, so auto stays host-side
+    monkeypatch.delenv("SDDMM_TPU_DEVICE_CLUSTER", raising=False)
+    assert not rows._device_cluster_viable(200_000, 64)
