@@ -61,6 +61,11 @@ def suite(quick: bool):
             32768, avg_degree=40, seed=44),
         "banded": lambda: generate.banded(
             24576, 24576, bandwidth=45, fill=0.55, seed=45),
+        # true DLMC density class (pruned-ML weights are 50-90% sparse,
+        # density 0.1-0.5 — the reference's DLMC corpus); the suite's
+        # older dlmc_like_* synthetics are hypersparse and mislabeled
+        "dlmc": lambda: generate.random_sparse(
+            4096, 4096, density=0.2, seed=46),
     }
 
 

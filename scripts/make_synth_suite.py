@@ -103,6 +103,17 @@ def corpus():
         "hypersparse_pure": lambda: g.hypersparse_dense_mix(
             49152, 49152, density=4e-4, num_dense_rows=0,
             num_dense_cols=0, seed=184),
+        # TRUE DLMC density class (round 3): real pruned-ML weights are
+        # 50-90% sparse (density 0.1-0.5, e.g. DLMC transformer
+        # magnitude-pruning); the older dlmc_like_* entries above are
+        # hypersparse (d=0.002-0.004) and kept as adversarial cases.
+        # Square + rectangular (FFN-shaped) variants.
+        "dlmc_dense_10": lambda: g.random_sparse(4096, 4096,
+                                                 density=0.1, seed=191),
+        "dlmc_dense_25": lambda: g.random_sparse(4096, 4096,
+                                                 density=0.25, seed=192),
+        "dlmc_ffn_20": lambda: g.random_sparse(2048, 8192,
+                                               density=0.2, seed=193),
     }
 
 
