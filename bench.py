@@ -130,7 +130,8 @@ def main():
     from sddmm_tpu.ops.csr_sddmm import csr_sddmm_jax
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     from sddmm_tpu.utils.timing import gflops, measure_loop_ms
-    from sddmm_tpu.reorder.autotune import autotune, from_params
+    from sddmm_tpu.reorder.autotune import (autotune, descriptor_floor_ms,
+                                            from_params)
 
     def log(msg):
         if args.verbose:
@@ -140,6 +141,7 @@ def main():
     results = {}
     results_csr_order = {}
     sols = {}
+    roofs = {}
     csr_ratio = {}
     sessions_ms = {}
     tuning_s = {}
@@ -228,6 +230,14 @@ def main():
         g = gflops(csr.nnz, args.k, ms)
         results[name] = g
         sols[name] = round(sol_ms / ms, 3)
+        # Achievable roofline: the unique-bytes floor OR the gather
+        # engine's descriptor-issue floor, whichever binds.  The bytes
+        # floor alone is unreachable for descriptor-bound regimes
+        # (docs/performance.md "descriptor-rate roofline").
+        roof_ms = max(sol_ms, descriptor_floor_ms(
+            packed, args.k, args.compute_dtype, tuned.k_chunks,
+            getattr(tuned, "a_layout", "rows")))
+        roofs[name] = round(roof_ms / ms, 3)
 
         # CSR-entry-order delivery (includes the packed->CSR conversion,
         # matching the reference's output convention).
@@ -278,6 +288,7 @@ def main():
         "geomean_csr_order": round(float(np.exp(np.mean(np.log(np.maximum(
             list(results_csr_order.values()), 1e-9))))), 1),
         "sol_fraction": sols,
+        "roofline_fraction": roofs,
         "speedup_vs_csr_same_chip": csr_ratio,
         "geomean_vs_csr": round(float(np.exp(np.mean(np.log(
             np.maximum(list(csr_ratio.values()), 1e-9))))), 2),

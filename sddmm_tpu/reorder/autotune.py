@@ -233,6 +233,41 @@ def estimate_ms(packed: PackedMatrix, k: int,
     return t_gather + t_stream + max(t_mxu - t_gather, 0.0)
 
 
+def descriptor_floor_ms(packed: PackedMatrix, k: int,
+                        compute_dtype: str = "tf32", k_chunks: int = 1,
+                        a_layout: str = "rows") -> float:
+    """Gather-engine floor for this packing: the minimum time the XLA
+    take engine needs to issue the configuration's descriptors at the
+    *peak measured* per-width row rate (no source-footprint or payload
+    penalties).  Unlike the unique-bytes floor (bench.sol_ms_of), this
+    is a roofline descriptor-bound regimes can actually reach — the
+    gather engine, not HBM, is the binding resource at K<=128
+    (docs/performance.md "descriptor-rate roofline").  The achievable
+    roofline is max(bytes floor, this floor, MXU floor)."""
+    G, C = packed.group_size, int(k_chunks)
+    LG = GROUP_LANES // G
+    n_tiles = (packed.num_super + packed.num_quads
+               + packed.num_pairs + packed.num_groups)
+    b_rows = (n_tiles * LG + packed.nnz_res) * C
+    b_uniq = min(b_rows, packed.num_col_groups + 1)
+    if a_layout == "panels":
+        a_rows = packed.num_panels + packed.nnz_res
+        a_uniq = min(a_rows, packed.num_panels)
+    else:
+        a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
+                  + sum(n * 64 for _, _, n in packed.quad_buckets)
+                  + sum(n * 32 for _, _, n in packed.pair_buckets)
+                  + sum(n * 16 for _, _, n in packed.group_buckets)
+                  + packed.nnz_res)
+        a_uniq = min(a_rows, packed.num_panels * 16)
+    eff = (b_uniq + _REPEAT_COST * max(b_rows - b_uniq, 0)
+           + a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0))
+    # most optimistic issue rate the model admits: best measured width
+    # at the best (VMEM-window) source-footprint factor
+    peak = max(_ROW_RATE_8MB.values()) * 1e6 * float(np.max(_SRC_F))
+    return eff / peak * 1e3
+
+
 def _candidate_layouts(n: int, k: int, compute_dtype: str):
     """(G, C) candidates: descriptor width near the 256-512 B sweet spot,
     source footprint near/below the fast-gather window."""

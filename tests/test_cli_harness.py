@@ -220,3 +220,21 @@ def test_update_tuned_configs_tag_roundtrip():
     cfg2 = parse_tag("a=0.3 d=0.0 G=1 C=1 H=0 legacy-carve")
     assert cfg2 == {"alpha": 0.3, "delta": 0.0, "g": 1, "c": 1,
                     "merge": True, "window_dp": False}
+
+
+def test_descriptor_floor():
+    """The gather-engine floor is positive, below (or equal to) the full
+    cost estimate, and the panels A-layout strictly reduces it."""
+    from sddmm_tpu.reorder.autotune import descriptor_floor_ms, from_params
+
+    csr = generate.block_clustered(48, 48, block_prob=0.1,
+                                   noise_density=5e-3, seed=37)
+    cfg = from_params(csr, 128, alpha=0.3, delta=0.05)
+    rows_f = descriptor_floor_ms(cfg.packed, 128)
+    assert rows_f > 0
+    assert rows_f <= estimate_ms(cfg.packed, 128) * 1.0001
+    if cfg.packed.cont_panel_off is not None:
+        pan_f = descriptor_floor_ms(cfg.packed, 128, a_layout="panels")
+        assert pan_f < rows_f
+    # more chunks -> more B descriptor issues
+    assert descriptor_floor_ms(cfg.packed, 128, k_chunks=2) >= rows_f
