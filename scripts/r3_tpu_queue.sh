@@ -50,6 +50,18 @@ run probe_k256_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 256 --skip-check --configs \
   "a=0.3,d=0.05;a=0.1,d=0.05,hub=2048;a=0.1,d=0.05,hub=2048,apanels=1"
 
+# --- 2b. true-DLMC density regime (new bench suite member): arbitrate
+#         delta / apanels / pallas / merge on the all-super pack ---
+run probe_dlmc_k128_r3.log python scripts/probe_configs.py \
+  --matrix dlmc --k 128 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.3,d=0.0;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1"
+
+run probe_dlmc_k256_r3.log python scripts/probe_configs.py \
+  --matrix dlmc --k 256 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.3,d=0.05,c=2;a=0.3,d=0.05,apanels=1"
+
+run probe_dense_dlmc_r3.log python scripts/probe_dense_dlmc.py
+
 # --- 3. device clustering throughput at scale ---
 run probe_device_cluster_r3.log python scripts/probe_cluster.py
 
