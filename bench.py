@@ -153,7 +153,23 @@ def main():
         # full-suite configs don't apply there
         cfg = (None if (args.retune or args.quick)
                else load_tuned_config(name, args.k))
-        if cfg is not None:
+        if cfg is not None and cfg.get("dense"):
+            # dense-tiling strategy (true-DLMC density class): one MXU
+            # dot, zero index gathers — see ops/dense.DenseSDDMM and
+            # scripts/probe_dense_dlmc.py for the measured decision
+            from sddmm_tpu.ops.dense import DenseSDDMM
+            from sddmm_tpu.reorder.autotune import _ELEM_BYTES
+            runner = DenseSDDMM.from_csr(csr,
+                                         compute_dtype=args.compute_dtype)
+            tuning_s[name] = round(time.perf_counter() - t0, 1)
+            a = generate.make_dense(csr.m, args.k, seed=1)
+            b = generate.make_dense(args.k, csr.n, seed=2)
+            a_pad, bt_pad = runner.prepare_operands(a, b=b)
+            a_el, b_el = _ELEM_BYTES[args.compute_dtype]
+            sol_ms = ((csr.m * a_el + csr.n * b_el) * args.k
+                      + csr.m * csr.n * 4) / 856e6
+            tuned = packed = None
+        elif cfg is not None:
             tuned = from_params(
                 csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
                 group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
@@ -185,17 +201,20 @@ def main():
                 TUNED_CONFIGS.write_text(json.dumps(data, indent=4)
                                          + "\n")
                 log(f"{name}: saved tuned config {new_cfg}")
-        tuning_s[name] = round(time.perf_counter() - t0, 1)
-        packed = tuned.packed
-        runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
-                             k_chunks=tuned.k_chunks,
-                             use_pallas=getattr(tuned, "use_pallas",
-                                                False),
-                             a_layout=getattr(tuned, "a_layout", "rows"))
-        a = generate.make_dense(csr.m, args.k, seed=1)
-        b = generate.make_dense(args.k, csr.n, seed=2)
-        a_pad, bt_pad = runner.prepare_operands(a, b=b)
-        sol_ms = sol_ms_of(packed, args.k, args.compute_dtype)
+        if tuned is not None:
+            tuning_s[name] = round(time.perf_counter() - t0, 1)
+            packed = tuned.packed
+            runner = HybridSDDMM(packed,
+                                 compute_dtype=args.compute_dtype,
+                                 k_chunks=tuned.k_chunks,
+                                 use_pallas=getattr(tuned, "use_pallas",
+                                                    False),
+                                 a_layout=getattr(tuned, "a_layout",
+                                                  "rows"))
+            a = generate.make_dense(csr.m, args.k, seed=1)
+            b = generate.make_dense(args.k, csr.n, seed=2)
+            a_pad, bt_pad = runner.prepare_operands(a, b=b)
+            sol_ms = sol_ms_of(packed, args.k, args.compute_dtype)
 
         # Independent timing sessions; each is a loop-differenced min
         # (dispatch noise is additive within a session), the median
@@ -234,9 +253,10 @@ def main():
         # engine's descriptor-issue floor, whichever binds.  The bytes
         # floor alone is unreachable for descriptor-bound regimes
         # (docs/performance.md "descriptor-rate roofline").
-        roof_ms = max(sol_ms, descriptor_floor_ms(
-            packed, args.k, args.compute_dtype, tuned.k_chunks,
-            getattr(tuned, "a_layout", "rows")))
+        roof_ms = sol_ms if packed is None else max(
+            sol_ms, descriptor_floor_ms(
+                packed, args.k, args.compute_dtype, tuned.k_chunks,
+                getattr(tuned, "a_layout", "rows")))
         roofs[name] = round(roof_ms / ms, 3)
 
         # CSR-entry-order delivery (includes the packed->CSR conversion,
@@ -261,15 +281,23 @@ def main():
                                  iterations=15)
         csr_ratio[name] = round(csr_ms / ms, 2)
 
-        log(f"{name}: nnz={csr.nnz} cfg=(a={tuned.alpha} d={tuned.delta} "
-            f"G={tuned.group_size} C={tuned.k_chunks} H={tuned.hub_cols} "
-            f"pallas={getattr(tuned, 'use_pallas', False)} "
-            f"aL={getattr(tuned, 'a_layout', 'rows')} "
-            f"merge={tuned.merge_superpanels}"
-            f"{' [committed]' if cfg is not None else ' [retuned]'}) "
-            f"nS={packed.num_super} nQ={packed.num_quads} "
-            f"nP={packed.num_pairs} nG={packed.num_groups} "
-            f"res={packed.nnz_res} sessions={sessions_ms[name]} "
+        if packed is None:
+            cfg_str = "dense [committed]"
+            pack_str = ""
+        else:
+            cfg_str = (
+                f"a={tuned.alpha} d={tuned.delta} "
+                f"G={tuned.group_size} C={tuned.k_chunks} "
+                f"H={tuned.hub_cols} "
+                f"pallas={getattr(tuned, 'use_pallas', False)} "
+                f"aL={getattr(tuned, 'a_layout', 'rows')} "
+                f"merge={tuned.merge_superpanels}"
+                f"{' [committed]' if cfg is not None else ' [retuned]'}")
+            pack_str = (f"nS={packed.num_super} nQ={packed.num_quads} "
+                        f"nP={packed.num_pairs} nG={packed.num_groups} "
+                        f"res={packed.nnz_res} ")
+        log(f"{name}: nnz={csr.nnz} cfg=({cfg_str}) "
+            f"{pack_str}sessions={sessions_ms[name]} "
             f"median={ms:.4f}ms gflops={g:.0f} "
             f"csr_order={results_csr_order[name]:.0f} "
             f"({time.perf_counter() - t0:.0f}s total)")

@@ -61,3 +61,146 @@ def dense_masked_sddmm(a, b, s: CSR,
     out = _dense_masked_jit(jnp.asarray(a), jnp.asarray(b), rows, cols,
                             compute_dtype=compute_dtype)
     return np.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _dense_full_jit(a, bt, compute_dtype="tf32"):
+    """Full (M, N) product A @ B^T in the framework's compute modes."""
+    from sddmm_tpu.ops.hybrid import _dot3, _split_bf16
+    dn = (((1,), (1,)), ((), ()))
+    if compute_dtype == "float16":
+        return _dot3(a, bt, dimension_numbers=dn)
+    if compute_dtype == "mixed":
+        ah, al = _split_bf16(a)
+
+        def d(x):
+            return jax.lax.dot_general(
+                x, bt, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        h, l = jax.lax.optimization_barrier((d(ah), d(al)))
+        return h + l
+    return jax.lax.dot_general(
+        a, bt, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PRECISION.get(compute_dtype,
+                                 jax.lax.Precision.DEFAULT))
+
+
+class DenseSDDMM:
+    """Dense-tiling SDDMM strategy for high-density matrices — the true
+    DLMC regime (pruned-ML weights, density 0.1-0.5; the reference's DLMC
+    corpus, scripts/exclude_invalid_dataset.py:46-49 keeps them).
+
+    At this density the BSMR packing covers the matrix almost entirely
+    with full 128x128 super tiles, so the hybrid kernel degenerates into
+    a dense blocked product executed through per-tile descriptor gathers.
+    This runner drops the indices entirely: ONE MXU dot A @ B^T whose
+    (M, N) output is the native layout — the value of CSR entry (r, c)
+    sits at slot r*N + c, zero gathers to deliver.  CSR-entry order
+    (``order="csr"``) costs one flat take (2-D gather when M*N would
+    overflow int32).
+
+    The reference has no counterpart (it always runs BSMR; its densest
+    baseline is cuSPARSE) — this is a dispatch class the TPU design adds
+    because the MXU's dense rate at d >= ~0.1 beats any gather-fed
+    kernel; see scripts/probe_dense_dlmc.py for the measured decision.
+
+    Interface-compatible with HybridSDDMM for the bench/probe harness:
+    ``prepare_operands`` -> ``run_padded`` / ``measure_kernel_ms``.
+    """
+
+    def __init__(self, m: int, n: int, compute_dtype: str = "tf32",
+                 csr: CSR | None = None):
+        self.m, self.n = int(m), int(n)
+        self.compute_dtype = compute_dtype
+        self._csr = csr
+        self._flat_idx = None
+        self._rows_cols = None
+
+    @staticmethod
+    def from_csr(csr: CSR, compute_dtype: str = "tf32") -> "DenseSDDMM":
+        return DenseSDDMM(csr.m, csr.n, compute_dtype=compute_dtype,
+                          csr=csr)
+
+    def prepare_operands(self, a, b=None, bt=None):
+        """Device A (M, K) and B^T (N, K) in the storage dtypes (the
+        analogue of HybridSDDMM.prepare_operands; no index arrays)."""
+        from sddmm_tpu.ops.hybrid import _storage_dtypes
+        a = np.asarray(a)
+        if bt is None:
+            bt = np.ascontiguousarray(np.asarray(b).T)
+        else:
+            bt = np.asarray(bt)
+        adt, bdt = _storage_dtypes(self.compute_dtype)
+        return jnp.asarray(a).astype(adt), jnp.asarray(bt).astype(bdt)
+
+    def _csr_gather_ops(self):
+        if self._csr is None:
+            raise ValueError("order='csr' needs the CSR pattern; build "
+                             "with DenseSDDMM.from_csr")
+        if self.m * self.n < 2 ** 31:
+            if self._flat_idx is None:
+                flat = (self._csr.row_indices().astype(np.int64) * self.n
+                        + self._csr.col_idx.astype(np.int64))
+                self._flat_idx = jnp.asarray(flat.astype(np.int32))
+            return self._flat_idx, None
+        if self._rows_cols is None:
+            self._rows_cols = (
+                jnp.asarray(self._csr.row_indices(), dtype=jnp.int32),
+                jnp.asarray(self._csr.col_idx, dtype=jnp.int32))
+        return None, self._rows_cols
+
+    def to_csr_order(self, full: jax.Array) -> jax.Array:
+        flat_idx, rows_cols = self._csr_gather_ops()
+        if flat_idx is not None:
+            return jnp.take(full.reshape(-1), flat_idx)
+        return full[rows_cols[0], rows_cols[1]]
+
+    def run_padded(self, a_dev: jax.Array, bt_dev: jax.Array,
+                   order: str = "packed") -> jax.Array:
+        full = _dense_full_jit(a_dev, bt_dev,
+                               compute_dtype=self.compute_dtype)
+        if order == "packed":
+            return full
+        if order == "csr":
+            return self.to_csr_order(full)
+        raise ValueError(f"unknown order {order!r}")
+
+    def __call__(self, a, b=None, bt=None, order: str = "csr"):
+        a_dev, bt_dev = self.prepare_operands(a, b=b, bt=bt)
+        return self.run_padded(a_dev, bt_dev, order=order)
+
+    def make_looped_fn(self, iterations: int, order: str = "packed"):
+        """Loop-differenced timing body (docs/performance.md): a
+        dtype-preserving ``where`` on the carry masks A each iteration so
+        XLA cannot hoist/CSE the dot out of the fori_loop."""
+        if order == "csr":
+            gather = self._csr_gather_ops()
+
+        def looped(a_dev, bt_dev):
+            def body(_, carry):
+                live = carry > jnp.float32(-1e30)
+                a_i = jnp.where(live, a_dev, jnp.zeros_like(a_dev))
+                out = _dense_full_jit(a_i, bt_dev,
+                                      compute_dtype=self.compute_dtype)
+                if order == "csr":
+                    flat_idx, rows_cols = gather
+                    out = (jnp.take(out.reshape(-1), flat_idx)
+                           if flat_idx is not None
+                           else out[rows_cols[0], rows_cols[1]])
+                return jnp.sum(out) * jnp.float32(1e-38)
+
+            return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
+
+        return jax.jit(looped)
+
+    def measure_kernel_ms(self, a_dev, bt_dev, iterations: int = 50,
+                          repeats: int = 3, order: str = "packed") -> float:
+        from sddmm_tpu.utils.timing import diff_time_ms
+
+        f_many = self.make_looped_fn(iterations, order=order)
+        f_one = self.make_looped_fn(1, order=order)
+        return diff_time_ms(lambda: float(f_many(a_dev, bt_dev)),
+                            lambda: float(f_one(a_dev, bt_dev)),
+                            iterations, repeats)

@@ -96,6 +96,46 @@ def test_dense_masked_sddmm_matches_reference():
     assert res.passed, str(res)
 
 
+def test_dense_runner_csr_order_matches_reference():
+    from sddmm_tpu.ops.dense import DenseSDDMM
+    a, b, s = _mats(m=100, n=80, k=32, density=0.3, seed=9)
+    runner = DenseSDDMM.from_csr(s, compute_dtype="float32")
+    got = np.asarray(runner(a, b=b, order="csr"))
+    want = sddmm_reference(a, b, s)
+    res = check_values(want, got)
+    assert res.passed, str(res)
+
+
+def test_dense_runner_packed_layout_contract():
+    # native layout: value of CSR entry (r, c) sits at full[r, c]
+    from sddmm_tpu.ops.dense import DenseSDDMM
+    a, b, s = _mats(m=64, n=48, k=16, density=0.25, seed=3)
+    runner = DenseSDDMM.from_csr(s, compute_dtype="float32")
+    a_dev, bt_dev = runner.prepare_operands(a, b=b)
+    full = np.asarray(runner.run_padded(a_dev, bt_dev, order="packed"))
+    assert full.shape == (s.m, s.n)
+    coo = s.to_coo()
+    want = sddmm_reference(a, b, s)
+    res = check_values(want, full[coo.rows, coo.cols])
+    assert res.passed, str(res)
+    # to_csr_order of the packed output equals the csr-order run
+    flat = np.asarray(runner.to_csr_order(
+        runner.run_padded(a_dev, bt_dev, order="packed")))
+    np.testing.assert_allclose(flat, np.asarray(want), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_dense_runner_measure_paths_run():
+    from sddmm_tpu.ops.dense import DenseSDDMM
+    a, b, s = _mats(m=64, n=48, k=16, density=0.25, seed=3)
+    runner = DenseSDDMM.from_csr(s, compute_dtype="tf32")
+    a_dev, bt_dev = runner.prepare_operands(a, b=b)
+    for order in ("packed", "csr"):
+        ms = runner.measure_kernel_ms(a_dev, bt_dev, iterations=3,
+                                      repeats=1, order=order)
+        assert ms >= 0.0
+
+
 def test_profiling_wrappers_noop_safe(tmp_path):
     import jax.numpy as jnp
     from sddmm_tpu.utils.profiling import annotate, trace
