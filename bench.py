@@ -153,7 +153,49 @@ def main():
         # full-suite configs don't apply there
         cfg = (None if (args.retune or args.quick)
                else load_tuned_config(name, args.k))
-        if cfg is not None and cfg.get("dense"):
+        dense_sel = bool(cfg.get("dense")) if cfg is not None else False
+        tuned = None
+        if cfg is not None and not dense_sel:
+            tuned = from_params(
+                csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
+                group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
+                merge_superpanels=cfg.get("merge", True),
+                hub_cols=cfg.get("hub", 0),
+                compute_dtype=args.compute_dtype,
+                window_dp=cfg.get("window_dp", True))
+            tuned.use_pallas = bool(cfg.get("pallas", False))
+            tuned.a_layout = cfg.get("a_layout", "rows")
+        elif cfg is None:
+            tuned = autotune(csr, k=args.k,
+                             compute_dtype=args.compute_dtype,
+                             measure=on_device)
+            dense_sel = getattr(tuned, "dense", False)
+            if args.save_tuned and not args.quick:
+                if dense_sel:
+                    new_cfg = {"dense": True}
+                else:
+                    new_cfg = {"alpha": tuned.alpha,
+                               "delta": tuned.delta,
+                               "g": tuned.group_size,
+                               "c": tuned.k_chunks,
+                               "merge": tuned.merge_superpanels}
+                    if tuned.hub_cols:
+                        new_cfg["hub"] = tuned.hub_cols
+                    if getattr(tuned, "use_pallas", False):
+                        new_cfg["pallas"] = True
+                    if getattr(tuned, "a_layout", "rows") != "rows":
+                        new_cfg["a_layout"] = tuned.a_layout
+                try:
+                    data = json.loads(TUNED_CONFIGS.read_text())
+                except (OSError, json.JSONDecodeError):
+                    data = {}
+                data.setdefault(f"k{args.k}", {})[name] = new_cfg
+                TUNED_CONFIGS.write_text(json.dumps(data, indent=4)
+                                         + "\n")
+                log(f"{name}: saved tuned config {new_cfg}")
+            if dense_sel:
+                tuned = None
+        if dense_sel:
             # dense-tiling strategy (true-DLMC density class): one MXU
             # dot, zero index gathers — see ops/dense.DenseSDDMM and
             # scripts/probe_dense_dlmc.py for the measured decision
@@ -168,40 +210,8 @@ def main():
             a_el, b_el = _ELEM_BYTES[args.compute_dtype]
             sol_ms = ((csr.m * a_el + csr.n * b_el) * args.k
                       + csr.m * csr.n * 4) / 856e6
-            tuned = packed = None
-        elif cfg is not None:
-            tuned = from_params(
-                csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
-                group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
-                merge_superpanels=cfg.get("merge", True),
-                hub_cols=cfg.get("hub", 0),
-                compute_dtype=args.compute_dtype,
-                window_dp=cfg.get("window_dp", True))
-            tuned.use_pallas = bool(cfg.get("pallas", False))
-            tuned.a_layout = cfg.get("a_layout", "rows")
+            packed = None
         else:
-            tuned = autotune(csr, k=args.k,
-                             compute_dtype=args.compute_dtype,
-                             measure=on_device)
-            if args.save_tuned and not args.quick:
-                new_cfg = {"alpha": tuned.alpha, "delta": tuned.delta,
-                           "g": tuned.group_size, "c": tuned.k_chunks,
-                           "merge": tuned.merge_superpanels}
-                if tuned.hub_cols:
-                    new_cfg["hub"] = tuned.hub_cols
-                if getattr(tuned, "use_pallas", False):
-                    new_cfg["pallas"] = True
-                if getattr(tuned, "a_layout", "rows") != "rows":
-                    new_cfg["a_layout"] = tuned.a_layout
-                try:
-                    data = json.loads(TUNED_CONFIGS.read_text())
-                except (OSError, json.JSONDecodeError):
-                    data = {}
-                data.setdefault(f"k{args.k}", {})[name] = new_cfg
-                TUNED_CONFIGS.write_text(json.dumps(data, indent=4)
-                                         + "\n")
-                log(f"{name}: saved tuned config {new_cfg}")
-        if tuned is not None:
             tuning_s[name] = round(time.perf_counter() - t0, 1)
             packed = tuned.packed
             runner = HybridSDDMM(packed,
@@ -282,7 +292,9 @@ def main():
         csr_ratio[name] = round(csr_ms / ms, 2)
 
         if packed is None:
-            cfg_str = "dense [committed]"
+            cfg_str = ("dense"
+                       + (" [committed]" if cfg is not None
+                          else " [retuned]"))
             pack_str = ""
         else:
             cfg_str = (

@@ -178,13 +178,21 @@ def main(argv=None):
 
             if "bsmr" in args.tools:
                 tuned = tuned_by_k[k]
-                runner = HybridSDDMM(tuned.packed,
-                                     compute_dtype=args.compute_dtype,
-                                     k_chunks=tuned.k_chunks,
-                                     use_pallas=getattr(
-                                         tuned, "use_pallas", False),
-                                     a_layout=getattr(
-                                         tuned, "a_layout", "rows"))
+                if getattr(tuned, "dense", False):
+                    # autotuner picked the dense-tiling strategy (the
+                    # DLMC density class; ops/dense.DenseSDDMM)
+                    from sddmm_tpu.ops.dense import DenseSDDMM
+                    runner = DenseSDDMM.from_csr(
+                        csr, compute_dtype=args.compute_dtype)
+                    extra["bsmr_strategy"] = "dense"
+                else:
+                    runner = HybridSDDMM(tuned.packed,
+                                         compute_dtype=args.compute_dtype,
+                                         k_chunks=tuned.k_chunks,
+                                         use_pallas=getattr(
+                                             tuned, "use_pallas", False),
+                                         a_layout=getattr(
+                                             tuned, "a_layout", "rows"))
                 a_pad, bt_phys = runner.prepare_operands(a, b=b)
                 ms = runner.measure_kernel_ms(a_pad, bt_phys,
                                               iterations=20)
@@ -204,11 +212,14 @@ def main(argv=None):
                     a_pad, bt_phys, iterations=10, order="csr")
                 extra["bsmr_csr_order_gflops"] = \
                     2 * csr.nnz * k / ms_csr / 1e6
-                log.num_clusters = tuned.bsmr.num_clusters
-                log.row_reordering_ms = tuned.bsmr.row_reordering_ms
-                log.col_reordering_ms = tuned.bsmr.col_reordering_ms
-                log.num_dense_block = tuned.packed.num_blocks
-                log.average_density = tuned.packed.average_block_density
+                if tuned.bsmr is not None:
+                    log.num_clusters = tuned.bsmr.num_clusters
+                    log.row_reordering_ms = tuned.bsmr.row_reordering_ms
+                    log.col_reordering_ms = tuned.bsmr.col_reordering_ms
+                if tuned.packed is not None:
+                    log.num_dense_block = tuned.packed.num_blocks
+                    log.average_density = \
+                        tuned.packed.average_block_density
                 if golden is not None:
                     res = check_values(
                         golden, np.asarray(runner(a, b, order="csr")))

@@ -153,8 +153,8 @@ class TunedConfig:
     group_size: int
     k_chunks: int
     est_ms: float
-    packed: PackedMatrix
-    bsmr: BSMR
+    packed: Optional[PackedMatrix]   # None for the dense class
+    bsmr: Optional[BSMR]
     measured_ms: Optional[float] = None
     hub_cols: int = 0
     use_pallas: bool = False
@@ -162,6 +162,11 @@ class TunedConfig:
     # 16-row descriptor per panel instead of 16 row descriptors
     # (ops/hybrid.py).  Shootout-arbitrated like use_pallas.
     a_layout: str = "rows"
+    # Dense-tiling strategy (ops/dense.DenseSDDMM): one full (M, N) MXU
+    # dot, zero index gathers — the true-DLMC density class where the
+    # MXU's dense rate beats any gather-fed kernel.  ``packed``/``bsmr``
+    # are None for this class.  Shootout-arbitrated.
+    dense: bool = False
 
 
 def estimate_ms(packed: PackedMatrix, k: int,
@@ -231,6 +236,22 @@ def estimate_ms(packed: PackedMatrix, k: int,
     t_gather = t_b + t_a + t_r
     # Gathers and streaming barely overlap; the MXU overlaps with gathers.
     return t_gather + t_stream + max(t_mxu - t_gather, 0.0)
+
+
+def estimate_dense_ms(m: int, n: int, k: int,
+                      compute_dtype: str = "tf32") -> float:
+    """Modeled time (ms) for the dense-tiling strategy: one
+    (M, K) x (K, N) MXU dot with the full (M, N) fp32 output as the
+    native layout.  Streaming is the A + B read plus the (M, N) write;
+    the MXU term uses the measured 128-tall batched-dot rate.  A single
+    large dot overlaps its operand streaming, so the estimate is the
+    max of the two, not the sum (unlike the gather-fed hybrid model)."""
+    a_el, b_el = _ELEM_BYTES[compute_dtype]
+    stream = m * k * a_el + n * k * b_el + m * n * 4
+    t_stream = stream / (STREAM_GBPS * 1e6)
+    rate128 = _DOT_G16_MS.get((compute_dtype, 128), 54.0e6)
+    t_mxu = (m / 16.0) * (n / 128.0) / rate128 * 1e3 * (k / 128.0)
+    return max(t_stream, t_mxu)
 
 
 def descriptor_floor_ms(packed: PackedMatrix, k: int,
@@ -340,6 +361,7 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
                    measure: bool = False,
                    measure_top: int = 3,
                    measure_iterations: int = 30,
+                   allow_dense: bool = True,
                    verbose: bool = False) -> dict:
     """Pick (alpha, delta, merge, G, C) minimizing modeled kernel time,
     for every K in ``ks`` at once; with ``measure=True`` the top
@@ -416,13 +438,25 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
                     alpha, delta, merge, g, c, est, packed, bsmr,
                     hub_cols=hc))
         candidates.sort(key=lambda t: t.est_ms)
+        # Dense-tiling candidate: enters only in the DLMC density class
+        # (the strategy's target regime; below it the m*n cells dwarf
+        # the nnz-proportional work at any realistic scale) and when the
+        # model puts it within 2x of the best packed candidate; est-only
+        # mode picks by model, measured mode arbitrates on the device.
+        density = csr.nnz / float(max(csr.m * csr.n, 1))
+        d_est = estimate_dense_ms(csr.m, csr.n, k, compute_dtype)
+        if allow_dense and density >= 0.05 and candidates \
+                and d_est < 2.0 * candidates[0].est_ms:
+            candidates.append(TunedConfig(0.0, 0.0, False, 1, 1, d_est,
+                                          None, None, dense=True))
+            candidates.sort(key=lambda t: t.est_ms)
         if not measure:
             out[k] = candidates[0]
         else:
             out[k] = _shootout(csr, k, candidates, compute_dtype,
                                measure_top, measure_iterations, verbose)
         win = out[k]
-        if win.packed.packed_rows is None:
+        if win.packed is not None and win.packed.packed_rows is None:
             # re-pack the winner with full (CSR-order/consumer) metadata
             win.packed = pack(csr, win.bsmr,
                               merge_superpanels=win.merge_superpanels,
@@ -471,13 +505,14 @@ def autotune(csr: CSR, k: int = 128,
              measure: bool = False,
              measure_top: int = 3,
              measure_iterations: int = 30,
+             allow_dense: bool = True,
              verbose: bool = False) -> TunedConfig:
     """Single-K convenience wrapper over autotune_multi."""
     return autotune_multi(
         csr, (k,), alphas=alphas, deltas=deltas, merges=merges,
         compute_dtype=compute_dtype, method=method, measure=measure,
         measure_top=measure_top, measure_iterations=measure_iterations,
-        verbose=verbose)[k]
+        allow_dense=allow_dense, verbose=verbose)[k]
 
 
 def _shootout(csr, k, candidates, compute_dtype, measure_top,
@@ -495,7 +530,7 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     seen_alpha: set = set()
     for cand in candidates:
         cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks,
-               cand.hub_cols)
+               cand.hub_cols, cand.dense)
         take_it = (len(finalists) < measure_top or cls not in seen_cls
                    or cand.delta not in seen_delta
                    or cand.alpha not in seen_alpha)
@@ -510,10 +545,12 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     # Pallas on trial (VERDICT r2 #6): the manual 3-pass MXU tile-dot
     # kernel enters the shootout as a twin of the model's top tf32
     # candidate; measurement decides whether it ever wins.
-    twin_base = finalists[:1]
-    if compute_dtype == "tf32" and finalists and \
-            finalists[0].group_size == 1 and not finalists[0].hub_cols:
-        twin = copy.copy(finalists[0])
+    # twins attach to the best *packed* finalist (the dense class has no
+    # pallas/a_layout variants)
+    twin_base = [f for f in finalists if not f.dense][:1]
+    if compute_dtype == "tf32" and twin_base and \
+            twin_base[0].group_size == 1 and not twin_base[0].hub_cols:
+        twin = copy.copy(twin_base[0])
         twin.use_pallas = True
         finalists.append(twin)
         twin_base.append(twin)
@@ -534,10 +571,14 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     b = generate.make_dense(k, csr.n, seed=2)
     out = []
     for cand in finalists:
-        runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
-                             k_chunks=cand.k_chunks,
-                             use_pallas=cand.use_pallas,
-                             a_layout=cand.a_layout)
+        if cand.dense:
+            from sddmm_tpu.ops.dense import DenseSDDMM
+            runner = DenseSDDMM.from_csr(csr, compute_dtype=compute_dtype)
+        else:
+            runner = HybridSDDMM(cand.packed, compute_dtype=compute_dtype,
+                                 k_chunks=cand.k_chunks,
+                                 use_pallas=cand.use_pallas,
+                                 a_layout=cand.a_layout)
         a_pad, bt_phys = runner.prepare_operands(a, b=b)
         cand = copy.copy(cand)
         cand.measured_ms = runner.measure_kernel_ms(
@@ -547,7 +588,7 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
             print(f"  measured a={cand.alpha} d={cand.delta} "
                   f"G={cand.group_size} C={cand.k_chunks} "
                   f"H={cand.hub_cols} pallas={cand.use_pallas} "
-                  f"aL={cand.a_layout} "
+                  f"aL={cand.a_layout} dense={cand.dense} "
                   f"merge={cand.merge_superpanels}: "
                   f"{cand.measured_ms:.3f}ms (est {cand.est_ms:.3f})")
     out.sort(key=lambda t: t.measured_ms)

@@ -63,7 +63,8 @@ def test_cli_sweep_and_analyze(matrix_file, tmp_path):
 
 
 def test_autotune_picks_valid_config():
-    csr = generate.block_clustered(16, 16, block_prob=0.2, seed=33)
+    # sparse enough that the packed (non-dense) strategy wins the est
+    csr = generate.block_clustered(48, 48, block_prob=0.03, seed=33)
     tuned = autotune(csr, k=64)
     assert tuned.est_ms > 0
     assert tuned.packed.nnz == csr.nnz
@@ -238,3 +239,49 @@ def test_descriptor_floor():
         assert pan_f < rows_f
     # more chunks -> more B descriptor issues
     assert descriptor_floor_ms(cfg.packed, 128, k_chunks=2) >= rows_f
+
+
+def test_estimate_dense_ms_scales():
+    from sddmm_tpu.reorder.autotune import estimate_dense_ms
+    small = estimate_dense_ms(256, 256, 64)
+    big = estimate_dense_ms(1024, 1024, 64)
+    assert 0 < small < big
+    # K scaling: more FLOPs and more operand bytes, never faster
+    assert estimate_dense_ms(1024, 1024, 256) >= big
+
+
+def test_autotune_selects_dense_at_dlmc_density():
+    """The true-DLMC density class (ops/dense.DenseSDDMM) must enter the
+    candidate set and win the est-only ranking at pruned-ML densities."""
+    csr = generate.random_sparse(96, 128, density=0.35, seed=5)
+    tuned = autotune(csr, k=64, alphas=(0.3,), deltas=(0.0,),
+                     merges=(False,))
+    assert tuned.dense and tuned.packed is None
+    # the selected strategy delivers correct values
+    import numpy as np
+    from sddmm_tpu.ops.dense import DenseSDDMM
+    from sddmm_tpu.ops.reference import sddmm_reference
+    from sddmm_tpu.utils.check import check_values
+    a = generate.make_dense(csr.m, 64, seed=1)
+    b = generate.make_dense(64, csr.n, seed=2)
+    runner = DenseSDDMM.from_csr(csr, compute_dtype="float32")
+    res = check_values(sddmm_reference(a, b, csr),
+                       np.asarray(runner(a, b=b, order="csr")))
+    assert res.passed, str(res)
+
+
+def test_autotune_keeps_packed_when_sparse():
+    csr = generate.random_sparse(512, 512, density=0.002, seed=5)
+    tuned = autotune(csr, k=64, alphas=(0.3,), deltas=(0.0,),
+                     merges=(False,))
+    assert not tuned.dense and tuned.packed is not None
+
+
+def test_shootout_measures_dense_candidate():
+    """measure=True with a dense finalist must time it via DenseSDDMM
+    (no packed metadata) without touching the twin machinery."""
+    csr = generate.random_sparse(64, 64, density=0.35, seed=7)
+    tuned = autotune(csr, k=32, alphas=(0.3,), deltas=(0.0,),
+                     merges=(False,), measure=True,
+                     measure_iterations=2)
+    assert tuned.measured_ms is not None and tuned.measured_ms >= 0.0

@@ -130,7 +130,9 @@ def test_autotune_grouped_candidates():
     from sddmm_tpu.reorder.autotune import autotune
 
     csr = _matrix(seed=10)
-    tuned = autotune(csr, k=32, compute_dtype="tf32")
+    # the fixture sits in the DLMC density class; this test exercises
+    # the grouped packed path, so opt out of the dense strategy
+    tuned = autotune(csr, k=32, compute_dtype="tf32", allow_dense=False)
     runner = HybridSDDMM(tuned.packed, compute_dtype="float32",
                          k_chunks=tuned.k_chunks)
     a = generate.make_dense(csr.m, 32, seed=11)
