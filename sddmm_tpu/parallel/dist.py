@@ -602,3 +602,106 @@ def count_collectives(hlo_text: str) -> dict:
     for op in ops:
         out[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo_text))
     return out
+
+
+class DistributedDenseSDDMM:
+    """Dense-tiling SDDMM strategy (ops/dense.DenseSDDMM — the true-DLMC
+    density class) sharded over the same ('rows', 'feat') mesh as
+    ``DistributedHybridSDDMM``.
+
+    Pure tensor parallelism: A is sharded (rows, feat) and B^T (None,
+    feat), each device contracts its local K-slice on the MXU, and the
+    only hot-path collective is one ``psum`` of the (rows-local, N)
+    partial products over 'feat' — the exact analogue of the hybrid
+    path's single flat-output psum.  The (M, N) output stays sharded by
+    'rows'; CSR-entry order is the same opt-in global conversion.
+
+    The reference is single-GPU and always runs BSMR; both the strategy
+    and the sharding are new capability (SURVEY §5 distributed row).
+    """
+
+    def __init__(self, m: int, n: int, mesh: Mesh,
+                 compute_dtype: str = "float32", csr=None):
+        self.m, self.n = int(m), int(n)
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self._csr = csr
+        self.R = mesh.shape["rows"]
+        self.F = mesh.shape.get("feat", 1)
+        self.m_pad = -(-self.m // self.R) * self.R
+        self._a_sharding = NamedSharding(mesh, P("rows", "feat"))
+        self._bt_sharding = NamedSharding(mesh, P(None, "feat"))
+        self._flat_idx = None
+
+    @staticmethod
+    def from_csr(csr, mesh: Mesh,
+                 compute_dtype: str = "float32") -> "DistributedDenseSDDMM":
+        return DistributedDenseSDDMM(csr.m, csr.n, mesh,
+                                     compute_dtype=compute_dtype, csr=csr)
+
+    def prepare_operands(self, a, b=None, bt=None):
+        """Sharded A (m_pad, K) by (rows, feat) and B^T (N, K) by
+        (None, feat); K must divide by the 'feat' axis size."""
+        adt, bdt = _storage_dtypes(self.compute_dtype)
+        a = np.asarray(a)
+        if bt is None:
+            bt = np.ascontiguousarray(np.asarray(b).T)
+        else:
+            bt = np.asarray(bt)
+        k = a.shape[1]
+        if k % self.F:
+            raise ValueError(f"K={k} not divisible by 'feat' axis "
+                             f"size {self.F}")
+        if self.m_pad > self.m:
+            a = np.concatenate(
+                [a, np.zeros((self.m_pad - self.m, k), a.dtype)])
+        return (jax.device_put(jnp.asarray(a).astype(adt),
+                               self._a_sharding),
+                jax.device_put(jnp.asarray(bt).astype(bdt),
+                               self._bt_sharding))
+
+    def _sharded_fn(self):
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        from sddmm_tpu.ops.dense import _dense_full_jit
+
+        def local(a_loc, bt_loc):
+            part = _dense_full_jit(a_loc, bt_loc,
+                                   compute_dtype=self.compute_dtype)
+            return jax.lax.psum(part, "feat")
+
+        return shard_map(local, mesh=self.mesh,
+                         in_specs=(P("rows", "feat"), P(None, "feat")),
+                         out_specs=P("rows", None))
+
+    @functools.cached_property
+    def _jitted(self):
+        return jax.jit(self._sharded_fn())
+
+    def run_padded(self, a_sh, bt_sh, order: str = "packed"):
+        full = self._jitted(a_sh, bt_sh)
+        if order == "packed":
+            return full
+        if order == "csr":
+            return self.to_csr_order(full)
+        raise ValueError(f"unknown order {order!r}")
+
+    def to_csr_order(self, full):
+        if self._csr is None:
+            raise ValueError("order='csr' needs the CSR pattern; build "
+                             "with DistributedDenseSDDMM.from_csr")
+        if self._flat_idx is None:
+            flat = (self._csr.row_indices().astype(np.int64) * self.n
+                    + self._csr.col_idx.astype(np.int64))
+            self._flat_idx = jnp.asarray(flat.astype(
+                np.int32 if self.m_pad * self.n < 2 ** 31 else np.int64))
+        return jnp.take(full.reshape(-1), self._flat_idx)
+
+    def __call__(self, a, b=None, bt=None, order: str = "csr"):
+        a_sh, bt_sh = self.prepare_operands(a, b=b, bt=bt)
+        return self.run_padded(a_sh, bt_sh, order=order)
+
+    def compiled_hlo(self, a_sh, bt_sh) -> str:
+        return self._jitted.lower(a_sh, bt_sh).compile().as_text()

@@ -255,3 +255,51 @@ def test_distributed_panels_grad_flows(packed_small):
     g = jax.grad(loss)(a_pad, bt_pad)
     assert np.isfinite(np.asarray(g).sum())
     assert np.abs(np.asarray(g)).max() > 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_distributed_dense_matches_reference(mesh_shape):
+    from sddmm_tpu.parallel.dist import DistributedDenseSDDMM
+    csr = generate.random_sparse(100, 96, density=0.3, seed=21)
+    mesh = make_mesh(mesh_shape, ("rows", "feat"))
+    dist = DistributedDenseSDDMM.from_csr(csr, mesh)
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    got = np.asarray(dist(a, b))
+    want = sddmm_reference(a, b, csr)
+    res = check_values(want, got)
+    assert res.passed, f"mesh {mesh_shape}: {res}"
+
+
+def test_distributed_dense_single_psum_no_gather():
+    from sddmm_tpu.parallel.dist import (DistributedDenseSDDMM,
+                                         count_collectives)
+    csr = generate.random_sparse(64, 64, density=0.3, seed=22)
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    dist = DistributedDenseSDDMM.from_csr(csr, mesh)
+    a_sh, bt_sh = dist.prepare_operands(
+        generate.make_dense(csr.m, 32, seed=1),
+        b=generate.make_dense(32, csr.n, seed=2))
+    counts = count_collectives(dist.compiled_hlo(a_sh, bt_sh))
+    assert counts["all-gather"] == 0
+    assert counts["all-reduce"] <= 1
+
+
+def test_distributed_dense_grad_flows():
+    from sddmm_tpu.parallel.dist import DistributedDenseSDDMM
+    csr = generate.random_sparse(64, 64, density=0.3, seed=23)
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    dist = DistributedDenseSDDMM.from_csr(csr, mesh)
+    a_sh, bt_sh = dist.prepare_operands(
+        generate.make_dense(csr.m, 16, seed=3),
+        b=generate.make_dense(16, csr.n, seed=4))
+    targets = jax.numpy.asarray(csr.values)
+
+    def loss(a_sh, bt_sh):
+        return ((dist.run_padded(a_sh, bt_sh, order="csr")
+                 - targets) ** 2).mean()
+
+    g = jax.grad(loss)(a_sh, bt_sh)
+    assert np.isfinite(np.asarray(g).sum())
+    assert np.abs(np.asarray(g)).max() > 0
