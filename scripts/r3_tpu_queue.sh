@@ -61,6 +61,9 @@ run probe_dlmc_k256_r3.log python scripts/probe_configs.py \
   "a=0.3,d=0.05;a=0.3,d=0.05,c=2;a=0.3,d=0.05,apanels=1"
 
 run probe_dense_dlmc_r3.log python scripts/probe_dense_dlmc.py
+run probe_dense_dlmc_k32_r3.log python scripts/probe_dense_dlmc.py --k 32
+run probe_dense_dlmc_k64_r3.log python scripts/probe_dense_dlmc.py --k 64
+run probe_dense_dlmc_k256_r3.log python scripts/probe_dense_dlmc.py --k 256
 
 # --- 3. device clustering throughput at scale ---
 run probe_device_cluster_r3.log python scripts/probe_cluster.py

@@ -79,3 +79,35 @@ def test_fuzz_pipeline_invariants_and_values(trial):
         f"trial={trial} alpha={alpha} delta={delta} G={g} C={k_chunks} "
         f"merge={merge} pair={pair} absorb={absorb} dp={window_dp} "
         f"k={k}: {res}")
+
+
+def test_fuzz_autotune_strategy_dispatch():
+    """Random densities across the dense/hybrid boundary: whatever
+    strategy the autotuner picks must deliver checkData-tolerance
+    results through its own runner class."""
+    from sddmm_tpu.ops.dense import DenseSDDMM
+    from sddmm_tpu.reorder.autotune import autotune
+
+    rng = np.random.default_rng(99)
+    for _ in range(6):
+        m = int(rng.integers(48, 160))
+        n = int(rng.integers(48, 160))
+        density = float(rng.uniform(0.005, 0.45))
+        csr = generate.random_sparse(m, n, density,
+                                     seed=int(rng.integers(1e6)))
+        if csr.nnz == 0:
+            continue
+        k = int(rng.choice([16, 32, 64]))
+        tuned = autotune(csr, k=k, alphas=(0.3,), deltas=(0.0, 0.3),
+                         merges=(False,))
+        a = generate.make_dense(csr.m, k, seed=1)
+        b = generate.make_dense(k, csr.n, seed=2)
+        if tuned.dense:
+            runner = DenseSDDMM.from_csr(csr, compute_dtype="float32")
+        else:
+            runner = HybridSDDMM(tuned.packed, compute_dtype="float32",
+                                 k_chunks=tuned.k_chunks)
+        got = np.asarray(runner(a, b=b, order="csr") if tuned.dense
+                         else runner(a, b, order="csr"))
+        res = check_values(sddmm_reference(a, b, csr), got)
+        assert res.passed, (m, n, density, k, tuned.dense, str(res))
