@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output layout timed/produced")
     p.add_argument("--validate", action="store_true",
                    help="check against the CPU golden model")
+    p.add_argument("--tune", action="store_true",
+                   help="autotune the configuration — strategy (hybrid "
+                        "packed vs dense tiling), alpha, delta, G, C — "
+                        "instead of the fixed -a/-d; measures candidates "
+                        "on the device when an accelerator is present")
     return p
 
 
@@ -114,6 +119,77 @@ def run_once(csr, k, alpha, delta, args, input_file):
     return log
 
 
+def run_tuned(csr, k, args, input_file):
+    """Autotuned pipeline run: the cost model + optional on-device
+    shootout pick the strategy and configuration (reorder/autotune.py);
+    the dense-tiling class (ops/dense.py) competes at DLMC densities."""
+    import jax
+
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.reorder.autotune import autotune
+    from sddmm_tpu.utils.logger import RunLog
+    from sddmm_tpu.utils.timing import Timer
+
+    on_device = jax.devices()[0].platform != "cpu"
+    with Timer() as t_tune:
+        tuned = autotune(csr, k=k, compute_dtype=args.compute_dtype,
+                         method=args.method, measure=on_device)
+    a = generate.make_dense(csr.m, k, seed=1)
+    b = generate.make_dense(k, csr.n, seed=2)
+    if tuned.dense:
+        from sddmm_tpu.ops.dense import DenseSDDMM
+        runner = DenseSDDMM.from_csr(csr,
+                                     compute_dtype=args.compute_dtype)
+    else:
+        from sddmm_tpu.ops.hybrid import HybridSDDMM
+        runner = HybridSDDMM(tuned.packed,
+                             compute_dtype=args.compute_dtype,
+                             k_chunks=tuned.k_chunks,
+                             use_pallas=tuned.use_pallas,
+                             a_layout=tuned.a_layout)
+    a_pad, bt_pad = runner.prepare_operands(a, b=b)
+    ms = runner.measure_kernel_ms(a_pad, bt_pad,
+                                  iterations=max(args.iterations, 10),
+                                  order=args.order)
+    log = RunLog(input_file=str(input_file), k=k,
+                 alpha=tuned.alpha, delta=tuned.delta,
+                 num_iterations=args.iterations,
+                 matrix_a_type=args.compute_dtype,
+                 matrix_b_type=args.compute_dtype,
+                 packing_ms=t_tune.ms,
+                 sddmm_time_ms=ms)
+    log.tile_k = k
+    log.set_matrix(csr)
+    if tuned.bsmr is not None:
+        log.num_row_panels = tuned.bsmr.num_row_panels
+        log.num_clusters = tuned.bsmr.num_clusters
+        log.row_reordering_ms = tuned.bsmr.row_reordering_ms
+        log.col_reordering_ms = tuned.bsmr.col_reordering_ms
+    if tuned.packed is not None:
+        log.num_dense_block = tuned.packed.num_blocks
+        log.average_density = tuned.packed.average_block_density
+        log.dense_grid = (tuned.packed.num_super, tuned.packed.num_quads,
+                          tuned.packed.num_pairs, tuned.packed.num_groups)
+        log.sparse_grid = (tuned.packed.nnz_res, 0, 0)
+        log.num_dense_data = tuned.packed.nnz_dense
+        log.num_sparse_data = tuned.packed.nnz_res
+    print(f"[tuned strategy : {'dense' if tuned.dense else 'hybrid'}] "
+          f"[a={tuned.alpha} d={tuned.delta} G={tuned.group_size} "
+          f"C={tuned.k_chunks} H={tuned.hub_cols} "
+          f"pallas={tuned.use_pallas} aL={tuned.a_layout}]",
+          file=sys.stderr)
+    if args.validate:
+        from sddmm_tpu.ops.reference import sddmm_reference
+        from sddmm_tpu.utils.check import check_values
+        got = np.asarray(runner(a, b=b, order="csr") if tuned.dense
+                         else runner(a, b, order="csr"))
+        res = check_values(sddmm_reference(a, b, csr), got)
+        log.error_rate = res.error_rate
+        log.check_passed = res.passed
+        print(str(res), file=sys.stderr)
+    return log
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # Positional fallback: argv[1]=file [argv[2]=K] (reference
@@ -140,8 +216,11 @@ def main(argv=None) -> int:
         log_dir.mkdir(parents=True, exist_ok=True)
 
     if not args.test_mode:
-        log = run_once(csr, args.k, args.alpha, args.delta, args,
-                       args.file)
+        if args.tune:
+            log = run_tuned(csr, args.k, args, args.file)
+        else:
+            log = run_once(csr, args.k, args.alpha, args.delta, args,
+                           args.file)
         text = log.print_log(sys.stdout)
         if log_dir:
             (log_dir / f"BSMR_tpu_k_{args.k}.log").write_text(text)

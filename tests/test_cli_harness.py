@@ -285,3 +285,21 @@ def test_shootout_measures_dense_candidate():
                      merges=(False,), measure=True,
                      measure_iterations=2)
     assert tuned.measured_ms is not None and tuned.measured_ms >= 0.0
+
+
+def test_cli_tune_flag_dense_and_hybrid(tmp_path):
+    """--tune picks a strategy end-to-end; validate must pass for both a
+    DLMC-density matrix (dense strategy) and a sparse one (hybrid)."""
+    from sddmm_tpu.data import io as dio
+    from sddmm_tpu.cli import main as cli_main
+
+    dense_path = tmp_path / "dlmc.mtx"
+    dio.save_mtx(dense_path, generate.random_sparse(96, 96, 0.3, seed=3))
+    sparse_path = tmp_path / "sparse.mtx"
+    dio.save_mtx(sparse_path,
+                 generate.block_clustered(24, 24, block_prob=0.05,
+                                          seed=4))
+    for path in (dense_path, sparse_path):
+        rc = cli_main(["-f", str(path), "-k", "32", "--tune",
+                       "--validate", "-l", str(tmp_path / "logs")])
+        assert rc == 0
