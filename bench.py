@@ -91,7 +91,8 @@ def sol_ms_of(packed, k: int, compute_dtype: str) -> float:
     uniq_rows = min(packed.m, packed.num_panels * 16)
     sol_bytes = (uniq_gids * packed.group_size * b_el
                  + uniq_rows * a_el) * k + packed.packed_size * 4
-    return sol_bytes / 856e6
+    from sddmm_tpu.reorder.autotune import STREAM_GBPS
+    return sol_bytes / (STREAM_GBPS * 1e6)
 
 
 def main():
@@ -207,9 +208,10 @@ def main():
             a = generate.make_dense(csr.m, args.k, seed=1)
             b = generate.make_dense(args.k, csr.n, seed=2)
             a_pad, bt_pad = runner.prepare_operands(a, b=b)
+            from sddmm_tpu.reorder.autotune import STREAM_GBPS
             a_el, b_el = _ELEM_BYTES[args.compute_dtype]
             sol_ms = ((csr.m * a_el + csr.n * b_el) * args.k
-                      + csr.m * csr.n * 4) / 856e6
+                      + csr.m * csr.n * 4) / (STREAM_GBPS * 1e6)
             packed = None
         else:
             tuning_s[name] = round(time.perf_counter() - t0, 1)
@@ -263,8 +265,14 @@ def main():
         # engine's descriptor-issue floor, whichever binds.  The bytes
         # floor alone is unreachable for descriptor-bound regimes
         # (docs/performance.md "descriptor-rate roofline").
-        roof_ms = sol_ms if packed is None else max(
-            sol_ms, descriptor_floor_ms(
+        if packed is None:
+            # dense strategy: bytes floor OR the MXU floor, whichever
+            # binds (estimate_dense_ms is exactly that max)
+            from sddmm_tpu.reorder.autotune import estimate_dense_ms
+            roof_ms = max(sol_ms, estimate_dense_ms(
+                csr.m, csr.n, args.k, args.compute_dtype))
+        else:
+            roof_ms = max(sol_ms, descriptor_floor_ms(
                 packed, args.k, args.compute_dtype, tuned.k_chunks,
                 getattr(tuned, "a_layout", "rows")))
         roofs[name] = round(roof_ms / ms, 3)

@@ -49,10 +49,13 @@ def main(argv=None) -> int:
         csr = io.load(args.file)
     else:
         csr = bench.suite(False)[args.matrix]()
+    # this probe dissects the hybrid kernel's stages — never the dense
+    # strategy (which has no stages to attribute)
     tuned = autotune(
         csr, k=args.k, compute_dtype=args.compute_dtype, measure=False,
         alphas=(args.alpha,) if args.alpha is not None else (0.3,),
-        deltas=(args.delta,) if args.delta is not None else (0.0, 0.05, 0.3))
+        deltas=(args.delta,) if args.delta is not None else (0.0, 0.05, 0.3),
+        allow_dense=False)
     g = args.g if args.g is not None else tuned.group_size
     c = args.c if args.c is not None else tuned.k_chunks
     if g != tuned.group_size:

@@ -197,11 +197,14 @@ def main(argv=None):
                 ms = runner.measure_kernel_ms(a_pad, bt_phys,
                                               iterations=20)
                 # tunnel jitter can produce a degenerate (too small)
-                # loop difference; anything implying > 10 TFLOPS on this
-                # HBM-bound op is implausible — re-measure with a much
-                # longer loop (the difference then dwarfs the jitter)
-                # and keep the conservative (slower) reading
-                if 2 * csr.nnz * k / ms / 1e6 > 10000:
+                # loop difference; anything implying > 10 TFLOPS on the
+                # HBM-bound hybrid op is implausible — re-measure with a
+                # much longer loop (the difference then dwarfs the
+                # jitter) and keep the conservative (slower) reading.
+                # The MXU-bound dense strategy legitimately exceeds
+                # 10 nnz-TFLOPS at DLMC density, so it is exempt.
+                if (extra.get("bsmr_strategy") != "dense"
+                        and 2 * csr.nnz * k / ms / 1e6 > 10000):
                     ms = max(ms, runner.measure_kernel_ms(
                         a_pad, bt_phys, iterations=200, repeats=5))
                 log.sddmm_time_ms = ms

@@ -181,8 +181,7 @@ def run_tuned(csr, k, args, input_file):
     if args.validate:
         from sddmm_tpu.ops.reference import sddmm_reference
         from sddmm_tpu.utils.check import check_values
-        got = np.asarray(runner(a, b=b, order="csr") if tuned.dense
-                         else runner(a, b, order="csr"))
+        got = np.asarray(runner(a, b, order="csr"))
         res = check_values(sddmm_reference(a, b, csr), got)
         log.error_rate = res.error_rate
         log.check_passed = res.passed

@@ -174,7 +174,10 @@ class DenseSDDMM:
     def make_looped_fn(self, iterations: int, order: str = "packed"):
         """Loop-differenced timing body (docs/performance.md): a
         dtype-preserving ``where`` on the carry masks A each iteration so
-        XLA cannot hoist/CSE the dot out of the fori_loop."""
+        XLA cannot hoist/CSE the dot out of the fori_loop, and an
+        ``optimization_barrier`` + tiny slice stands in for the consumer
+        so the full (M, N) HBM write — the strategy's dominant byte term
+        — cannot be fused away into the reduction."""
         if order == "csr":
             gather = self._csr_gather_ops()
 
@@ -189,7 +192,10 @@ class DenseSDDMM:
                     out = (jnp.take(out.reshape(-1), flat_idx)
                            if flat_idx is not None
                            else out[rows_cols[0], rows_cols[1]])
-                return jnp.sum(out) * jnp.float32(1e-38)
+                # the barrier blocks dot->reduce fusion, so the (M, N)
+                # product must be materialized before the slice reads it
+                out = jax.lax.optimization_barrier(out)
+                return jnp.sum(out.reshape(-1)[:8]) * jnp.float32(1e-38)
 
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 

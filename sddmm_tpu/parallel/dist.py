@@ -632,6 +632,7 @@ class DistributedDenseSDDMM:
         self._a_sharding = NamedSharding(mesh, P("rows", "feat"))
         self._bt_sharding = NamedSharding(mesh, P(None, "feat"))
         self._flat_idx = None
+        self._rows_cols = None
 
     @staticmethod
     def from_csr(csr, mesh: Mesh,
@@ -692,12 +693,20 @@ class DistributedDenseSDDMM:
         if self._csr is None:
             raise ValueError("order='csr' needs the CSR pattern; build "
                              "with DistributedDenseSDDMM.from_csr")
-        if self._flat_idx is None:
-            flat = (self._csr.row_indices().astype(np.int64) * self.n
-                    + self._csr.col_idx.astype(np.int64))
-            self._flat_idx = jnp.asarray(flat.astype(
-                np.int32 if self.m_pad * self.n < 2 ** 31 else np.int64))
-        return jnp.take(full.reshape(-1), self._flat_idx)
+        # max flat index is m*n - 1; beyond int32 range jnp would
+        # silently downcast int64 indices (x64 disabled), so use the
+        # 2-D gather instead (same fallback as single-chip DenseSDDMM)
+        if self.m * self.n < 2 ** 31:
+            if self._flat_idx is None:
+                flat = (self._csr.row_indices().astype(np.int64) * self.n
+                        + self._csr.col_idx.astype(np.int64))
+                self._flat_idx = jnp.asarray(flat.astype(np.int32))
+            return jnp.take(full.reshape(-1), self._flat_idx)
+        if self._rows_cols is None:
+            self._rows_cols = (
+                jnp.asarray(self._csr.row_indices(), dtype=jnp.int32),
+                jnp.asarray(self._csr.col_idx, dtype=jnp.int32))
+        return full[self._rows_cols[0], self._rows_cols[1]]
 
     def __call__(self, a, b=None, bt=None, order: str = "csr"):
         a_sh, bt_sh = self.prepare_operands(a, b=b, bt=bt)

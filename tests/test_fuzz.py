@@ -107,7 +107,6 @@ def test_fuzz_autotune_strategy_dispatch():
         else:
             runner = HybridSDDMM(tuned.packed, compute_dtype="float32",
                                  k_chunks=tuned.k_chunks)
-        got = np.asarray(runner(a, b=b, order="csr") if tuned.dense
-                         else runner(a, b, order="csr"))
+        got = np.asarray(runner(a, b, order="csr"))
         res = check_values(sddmm_reference(a, b, csr), got)
         assert res.passed, (m, n, density, k, tuned.dense, str(res))
