@@ -75,6 +75,14 @@ def main():
     a_d = jnp.asarray(a)
     bt_d = jnp.asarray(b.T.copy())  # (n, K)
 
+    # Timing contract: the (M, N) HBM write is the strategy's dominant
+    # byte term; an unguarded sum-reduce (measure_loop_ms's consumer)
+    # could fuse into the dot and elide it.  barrier + tiny slice forces
+    # the materialization without adding a full re-read (the same
+    # methodology as ops/dense.make_looped_fn).
+    def _force_write(x):
+        return jax.lax.optimization_barrier(x).reshape(-1)[:8]
+
     # --- einsum tile-major: (mb,128,K) x (nb,128,K) -> (mb,nb,128,128)
     mb, nb = args.m // 128, args.n // 128
     a_blk = a_d.reshape(mb, 128, k)
@@ -82,9 +90,9 @@ def main():
 
     def einsum_body(c, ab, bb):
         ab = ab + c * jnp.float32(1e-38)
-        return jnp.einsum("aik,bjk->abij", ab, bb,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
+        return _force_write(jnp.einsum("aik,bjk->abij", ab, bb,
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec))
 
     ms_e = measure_loop_ms(einsum_body, (a_blk, bt_blk),
                            iterations=args.iterations, repeats=4)
@@ -94,13 +102,27 @@ def main():
     # --- plain dot (row-major output; layout-contract-free bound) ---
     def dot_body(c, ad, bd):
         ad = ad + c * jnp.float32(1e-38)
-        return jnp.dot(ad, bd.T, preferred_element_type=jnp.float32,
-                       precision=prec)
+        return _force_write(jnp.dot(ad, bd.T,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec))
 
     ms_d = measure_loop_ms(dot_body, (a_d, bt_d),
                            iterations=args.iterations, repeats=4)
     print(f"plain dot: {ms_d:.4f} ms  {gflops(nnz, k, ms_d):.0f} GFLOPS",
           flush=True)
+
+    # --- diagnostic: same dot WITHOUT the write barrier, to quantify
+    #     how much of the (M, N) store XLA's dot->reduce fusion elides
+    def dot_body_nb(c, ad, bd):
+        ad = ad + c * jnp.float32(1e-38)
+        return jnp.dot(ad, bd.T, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    ms_nb = measure_loop_ms(dot_body_nb, (a_d, bt_d),
+                            iterations=args.iterations, repeats=4)
+    print(f"plain dot (no write barrier): {ms_nb:.4f} ms  "
+          f"{gflops(nnz, k, ms_nb):.0f} GFLOPS  "
+          f"(elision delta {ms_d - ms_nb:+.4f} ms)", flush=True)
 
     # --- plain dot + flat gather into packed order ---
     pk = cfg.packed
