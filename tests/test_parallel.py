@@ -303,3 +303,15 @@ def test_distributed_dense_grad_flows():
     g = jax.grad(loss)(a_sh, bt_sh)
     assert np.isfinite(np.asarray(g).sum())
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_distributed_dense_k_divisibility_error():
+    from sddmm_tpu.parallel.dist import DistributedDenseSDDMM
+    csr = generate.random_sparse(64, 64, density=0.3, seed=24)
+    mesh = make_mesh((2, 4), ("rows", "feat"))
+    dist = DistributedDenseSDDMM.from_csr(csr, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        dist.prepare_operands(generate.make_dense(csr.m, 18, seed=1),
+                              b=generate.make_dense(18, csr.n, seed=2))
+    # row padding: m not divisible by the rows axis still works
+    assert dist.m_pad % 2 == 0 and dist.m_pad >= csr.m
