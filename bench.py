@@ -27,6 +27,7 @@ framework's native layout — with both visible.
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -139,6 +140,21 @@ def main():
             print(msg, file=sys.stderr)
 
     on_device = jax.devices()[0].platform != "cpu"
+    warnings = []
+    if on_device:
+        # exclusive-chip hygiene (CLAUDE.md rule 1): evict a crash-safe
+        # background sweep by its exact recorded pgid, wait out anything
+        # else, then hold the lock ourselves for the whole run
+        from sddmm_tpu.utils import tpulock
+        warnings += tpulock.preempt_preemptible(
+            log=lambda m: print(m, file=sys.stderr))
+        if not tpulock.wait_free(
+                max_wait_s=float(os.environ.get(
+                    "SDDMM_TPU_LOCK_WAIT_S", "900")),
+                log=lambda m: print(m, file=sys.stderr)):
+            warnings.append("tpulock: chip still held by another "
+                            "measurement; numbers may be contended")
+        tpulock.acquire("bench")
     results = {}
     results_csr_order = {}
     sols = {}
@@ -146,7 +162,6 @@ def main():
     csr_ratio = {}
     sessions_ms = {}
     tuning_s = {}
-    warnings = []
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()

@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-3 post-queue sequence: run AFTER r3_tpu_queue.sh finished and
-# the probe winners have been folded into results/tuned_configs.json
-# (scripts/update_tuned_configs.py + manual dense decisions from
-# probe_dense_dlmc_*_r3.log).  Produces the final headline benches at
-# all four Ks on the updated committed configs, then kicks the detached
+# Round-3 post-queue sequence: runs automatically at the end of
+# r3_tpu_queue.sh, AFTER scripts/r3_autofold.py folded the probe
+# winners (incl. the dense-vs-hybrid dlmc decision) into
+# results/tuned_configs.json.  Produces the final headline benches at
+# all four Ks on the updated committed configs, then kicks the
 # breadth-suite rerun.  Nothing else may touch the TPU while this runs
 # (CLAUDE.md rule 1).
 cd "$(dirname "$0")/.." || exit 1
@@ -23,6 +23,8 @@ run bench_r3_final_k32.log  python bench.py --verbose --k 32
 run bench_r3_final_k64.log  python bench.py --verbose --k 64
 run bench_r3_final_k256.log python bench.py --verbose --k 256
 
-# breadth suite (hours; crash-safe --resume)
-bash scripts/r3_suite_rerun.sh
-echo "post-queue done"
+# breadth suite (hours; crash-safe --resume).  setsid gives it its own
+# process group: it takes the preemptible TPU lock (utils/tpulock.py)
+# and the headline bench can evict exactly that group, nothing else.
+setsid bash scripts/r3_suite_rerun.sh >/dev/null 2>&1 &
+echo "post-queue done (suite rerun detached, pid $!)"

@@ -89,4 +89,10 @@ run probe_breakdown_clustered16_r3.log python scripts/probe_breakdown.py \
 run bench_r3_runA.log python bench.py --verbose
 run bench_r3_runB.log python bench.py --verbose
 
+# --- 6. fold probe winners into tuned_configs.json (contract-validated,
+#         reverts on FAIL), then the final headline benches + breadth
+#         suite — fully autonomous, no human in the loop ---
+run autofold_r3.log python scripts/r3_autofold.py --validate
+bash scripts/r3_post_queue.sh
+
 echo "queue done"

@@ -59,7 +59,16 @@ def main(argv=None):
 
     import numpy as np
 
+    import jax
     import jax.numpy as jnp
+
+    if args.measure and jax.devices()[0].platform != "cpu":
+        # hours-long on-device sweep: declare ourselves as the
+        # crash-safe (--resume) low-priority chip holder so the
+        # headline bench can evict us cleanly (utils/tpulock.py)
+        from sddmm_tpu.utils import tpulock
+        tpulock.wait_free(max_wait_s=3600)
+        tpulock.acquire("suite", preemptible=True)
 
     from sddmm_tpu.utils.timing import measure_loop_ms
 
