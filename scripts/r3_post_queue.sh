@@ -22,6 +22,8 @@ run bench_r3_final_k128.log python bench.py --verbose
 run bench_r3_final_k32.log  python bench.py --verbose --k 32
 run bench_r3_final_k64.log  python bench.py --verbose --k 64
 run bench_r3_final_k256.log python bench.py --verbose --k 256
+git add results/ && git commit -q \
+  -m "Round-3 final headline benches at all four Ks" || true
 
 # breadth suite (hours; crash-safe --resume).  setsid gives it its own
 # process group: it takes the preemptible TPU lock (utils/tpulock.py)

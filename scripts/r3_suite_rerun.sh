@@ -14,4 +14,7 @@ for k in 32 64 128 256; do
     --k "$k" --out "results/synth_suite_logs_r3/results_${k}.csv" \
     >> results/r3_suite_run.log 2>&1
 done
+git add results/synth_suite_logs_r3 results/r3_suite_run.log \
+  && git commit -q -m "Round-3 breadth-suite shootout logs (24 matrices x 4 Ks)" \
+  || true
 echo "suite rerun done"

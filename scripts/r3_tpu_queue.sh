@@ -93,6 +93,8 @@ run bench_r3_runB.log python bench.py --verbose
 #         reverts on FAIL), then the final headline benches + breadth
 #         suite — fully autonomous, no human in the loop ---
 run autofold_r3.log python scripts/r3_autofold.py --validate
+git add results/ && git commit -q \
+  -m "Round-3 TPU probe logs + autofolded tuned configs" || true
 bash scripts/r3_post_queue.sh
 
 echo "queue done"
