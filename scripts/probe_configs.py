@@ -81,6 +81,7 @@ def main(argv=None) -> int:
                f"H={sp['hub']}"
                + (" pallas" if sp["pallas"] else "")
                + (" apanels" if sp["apanels"] else "")
+               + ("" if sp["merge"] else " nomerge")
                + ("" if sp["windowdp"] else " legacy-carve")
                + (f" {sp['dtype']}" if sp["dtype"] != "tf32" else ""))
         runner = HybridSDDMM(pk, compute_dtype=sp["dtype"],

@@ -42,10 +42,10 @@ import update_tuned_configs as utc  # winner_of / parse_tag / CONFIGS
 R = ROOT / "results"
 
 # (log, matrix, K, mode) — mode "full" replaces the committed config
-# with the parsed winner tag; mode "apanels-only" merely toggles
-# a_layout on the existing committed config (used where the probe's
-# candidate set does not include the exact committed config, e.g. the
-# k32 probe runs merge=1 while the committed k32 entry is merge=false).
+# with the parsed winner tag (every probe's candidate set includes the
+# exact committed config, so a no-better outcome folds to a no-op);
+# mode "apanels-only" merely toggles a_layout on the existing committed
+# config (safety valve for probes whose candidates don't include it).
 FOLDS = [
     ("probe_apanels_clustered16_r3.log", "clustered16", 128, "full"),
     ("probe_apanels_banded_r3.log", "banded", 128, "full"),
@@ -55,9 +55,13 @@ FOLDS = [
     ("probe_k256_clustered128_r3.log", "clustered128", 256, "full"),
     ("probe_k256_banded_r3.log", "banded", 256, "full"),
     ("probe_k256_powerlaw_r3.log", "powerlaw", 256, "full"),
+    ("probe_k64_clustered16_r3.log", "clustered16", 64, "full"),
+    ("probe_k64_banded_r3.log", "banded", 64, "full"),
+    ("probe_k64_clustered128_r3.log", "clustered128", 64, "full"),
+    ("probe_k64_powerlaw_r3.log", "powerlaw", 64, "full"),
     ("probe_dlmc_k128_r3.log", "dlmc", 128, "full"),
     ("probe_dlmc_k256_r3.log", "dlmc", 256, "full"),
-    ("probe_k32_apanels_r3.log", "clustered16", 32, "apanels-only"),
+    ("probe_k32_apanels_r3.log", "clustered16", 32, "full"),
 ]
 
 DENSE_LOGS = {

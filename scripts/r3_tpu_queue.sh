@@ -68,11 +68,30 @@ run probe_dense_dlmc_k256_r3.log python scripts/probe_dense_dlmc.py --k 256
 # --- 3. device clustering throughput at scale ---
 run probe_device_cluster_r3.log python scripts/probe_cluster.py
 
+# --- 3b. K=64: the committed configs are round-2 winners that never
+#         saw the pallas/apanels twins; close the loop like K=128 ---
+run probe_k64_clustered16_r3.log python scripts/probe_configs.py \
+  --matrix clustered16 --k 64 --skip-check --configs \
+  "a=0.3,d=0.0,g=2,merge=0;a=0.3,d=0.0,g=2,merge=0,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1"
+
+run probe_k64_banded_r3.log python scripts/probe_configs.py \
+  --matrix banded --k 64 --skip-check --configs \
+  "a=0.3,d=0.05,g=2;a=0.3,d=0.05,g=2,apanels=1;a=0.3,d=0.0,pallas=1,apanels=1"
+
+run probe_k64_clustered128_r3.log python scripts/probe_configs.py \
+  --matrix clustered128 --k 64 --skip-check --configs \
+  "a=0.3,d=0.05;a=0.3,d=0.05,apanels=1"
+
+run probe_k64_powerlaw_r3.log python scripts/probe_configs.py \
+  --matrix powerlaw --k 64 --skip-check --configs \
+  "a=0.5,d=0.05;a=0.5,d=0.05,hub=2048;a=0.5,d=0.05,hub=2048,apanels=1"
+
 # --- 4. small-K a_layout check (A descriptors are narrow/fast there;
-#         expect a wash — measure to be sure) ---
+#         expect a wash — measure to be sure); candidate 1 IS the
+#         committed config (g=4 merge=0) so the fold is exact ---
 run probe_k32_apanels_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 32 --skip-check --configs \
-  "a=0.3,d=0.0,g=4;a=0.3,d=0.0,g=4,apanels=1"
+  "a=0.3,d=0.0,g=4,merge=0;a=0.3,d=0.0,g=4,merge=0,apanels=1;a=0.3,d=0.05,pallas=1"
 
 # --- 4a. B-gather address-locality hypothesis (first-use gid order) ---
 run probe_gid_order_clustered16_r3.log python scripts/probe_gid_order.py \

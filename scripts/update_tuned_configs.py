@@ -37,6 +37,8 @@ def parse_tag(tag: str) -> dict:
         cfg["pallas"] = True
     if " apanels" in tag:
         cfg["a_layout"] = "panels"
+    if " nomerge" in tag:
+        cfg["merge"] = False
     if " legacy-carve" in tag:
         cfg["window_dp"] = False
     return cfg

@@ -221,6 +221,63 @@ def test_update_tuned_configs_tag_roundtrip():
     cfg2 = parse_tag("a=0.3 d=0.0 G=1 C=1 H=0 legacy-carve")
     assert cfg2 == {"alpha": 0.3, "delta": 0.0, "g": 1, "c": 1,
                     "merge": True, "window_dp": False}
+    cfg3 = parse_tag("a=0.3 d=0.0 G=4 C=1 H=0 apanels nomerge")
+    assert cfg3 == {"alpha": 0.3, "delta": 0.0, "g": 4, "c": 1,
+                    "merge": False, "a_layout": "panels"}
+
+
+def test_r3_autofold_folds_and_arbitrates(tmp_path, monkeypatch):
+    """End-to-end fold: probe winners land in tuned_configs.json, the
+    dense-vs-hybrid dlmc decision uses the faster of the two hybrid
+    sources, missing logs leave their entries untouched."""
+    import json
+
+    import r3_autofold as af
+    import update_tuned_configs as utc
+
+    results = tmp_path / "results"
+    results.mkdir()
+    configs = results / "tuned_configs.json"
+    configs.write_text(json.dumps({
+        "k128": {"clustered16": {"alpha": 0.3, "delta": 0.05, "g": 1,
+                                 "c": 1, "merge": True, "pallas": True},
+                 "dlmc": {"alpha": 0.3, "delta": 0.05, "g": 1, "c": 1,
+                          "merge": True}},
+        "k32": {"clustered16": {"alpha": 0.3, "delta": 0.0, "g": 4,
+                                "c": 1, "merge": False}},
+    }))
+    monkeypatch.setattr(af, "R", results)
+    monkeypatch.setattr(utc, "CONFIGS", configs)
+
+    (results / "probe_apanels_clustered16_r3.log").write_text(
+        "winner: [a=0.3 d=0.05 G=1 C=1 H=0 pallas apanels] 0.35 ms\n")
+    (results / "probe_k32_apanels_r3.log").write_text(
+        "winner: [a=0.3 d=0.0 G=4 C=1 H=0 apanels nomerge] 0.20 ms\n")
+    # dense probe says dense 0.5 ms vs its own hybrid 1.2 ms, but the
+    # interleaved dlmc shootout found a 0.45 ms hybrid -> hybrid stays
+    (results / "probe_dense_dlmc_r3.log").write_text(
+        "hybrid: nS=212 res=0 1.2000 ms  716 GFLOPS\n"
+        "plain dot: 0.5000 ms  1718 GFLOPS\n")
+    (results / "probe_dlmc_k128_r3.log").write_text(
+        "winner: [a=0.3 d=0.0 G=1 C=1 H=0] 0.4500 ms\n")
+
+    assert af.main([]) == 0
+    data = json.loads(configs.read_text())
+    assert data["k128"]["clustered16"] == {
+        "alpha": 0.3, "delta": 0.05, "g": 1, "c": 1, "merge": True,
+        "pallas": True, "a_layout": "panels"}
+    assert data["k32"]["clustered16"] == {
+        "alpha": 0.3, "delta": 0.0, "g": 4, "c": 1, "merge": False,
+        "a_layout": "panels"}
+    # dlmc folded to the shootout winner, NOT displaced by dense
+    assert data["k128"]["dlmc"]["delta"] == 0.0
+    assert "dense" not in data["k128"]["dlmc"]
+
+    # flip: no shootout log and dense beats the probe's hybrid -> dense
+    (results / "probe_dlmc_k128_r3.log").unlink()
+    assert af.main([]) == 0
+    assert json.loads(configs.read_text())["k128"]["dlmc"] == {
+        "dense": True}
 
 
 def test_descriptor_floor():
