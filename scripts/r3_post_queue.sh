@@ -2,10 +2,10 @@
 # Round-3 post-queue sequence: runs automatically at the end of
 # r3_tpu_queue.sh, AFTER scripts/r3_autofold.py folded the probe
 # winners (incl. the dense-vs-hybrid dlmc decision) into
-# results/tuned_configs.json.  Produces the final headline benches at
-# all four Ks on the updated committed configs, then kicks the
-# breadth-suite rerun.  Nothing else may touch the TPU while this runs
-# (CLAUDE.md rule 1).
+# results/tuned_configs.json and the two K=128 A/B headline runs.
+# Produces the final benches at the remaining Ks on the updated
+# committed configs, then kicks the breadth-suite rerun.  Nothing else
+# may touch the TPU while this runs (CLAUDE.md rule 1).
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p results
 R=results
@@ -18,7 +18,6 @@ run() {
   tail -4 "$R/$log"
 }
 
-run bench_r3_final_k128.log python bench.py --verbose
 run bench_r3_final_k32.log  python bench.py --verbose --k 32
 run bench_r3_final_k64.log  python bench.py --verbose --k 64
 run bench_r3_final_k256.log python bench.py --verbose --k 256

@@ -1,8 +1,12 @@
 #!/bin/bash
-# Round-3 TPU measurement queue — run when the tunnel is back.
-# Order: cheapest decisions first (a_layout + pallas per regime at
-# K=128), then K=256 (the K-scaling inversion), then device clustering.
-# Each step logs to results/ and tolerates failure (set +e per step).
+# Round-3 TPU measurement queue — fired once by scripts/tpu_watch.sh
+# when the tunnel returns.  Fully autonomous: after each probe section
+# the winners are folded into results/tuned_configs.json (validated
+# against the golden contract, reverted on FAIL) and committed, so if
+# the round ends mid-queue the headline bench still reflects every
+# finished measurement.  Order: highest-value decisions first (K=128,
+# then K=256's inversion, then the dlmc dense arbitration, then
+# K=64/K=32), diagnostics after, final benches last.
 # NOTE: nothing else may touch the TPU while this runs (CLAUDE.md rule 1).
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p results
@@ -14,6 +18,12 @@ run() {
   timeout 2400 "$@" >"$R/$log" 2>&1
   echo "rc=$?" >>"$R/$log"
   tail -8 "$R/$log"
+}
+
+fold() {  # fold+validate all probe logs present so far, commit
+  run "autofold_$1_r3.log" python scripts/r3_autofold.py --validate
+  git add results/ && git commit -q \
+    -m "Round-3 probe results + autofolded configs ($1)" || true
 }
 
 # --- 1. a_layout x pallas at K=128 on the block regimes ---
@@ -33,6 +43,8 @@ run probe_apanels_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 128 --skip-check --configs \
   "a=0.1,d=0.05,hub=2048;a=0.1,d=0.05,hub=2048,apanels=1"
 
+fold k128
+
 # --- 2. K=256: shootout incl. C, apanels, pallas (fix the inversion) ---
 run probe_k256_clustered16_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 256 --skip-check --configs \
@@ -50,8 +62,10 @@ run probe_k256_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 256 --skip-check --configs \
   "a=0.3,d=0.05;a=0.1,d=0.05,hub=2048;a=0.1,d=0.05,hub=2048,apanels=1"
 
-# --- 2b. true-DLMC density regime (new bench suite member): arbitrate
-#         delta / apanels / pallas / merge on the all-super pack ---
+fold k256
+
+# --- 2b. true-DLMC density regime: arbitrate delta / apanels / pallas
+#         on the all-super pack, then dense-vs-hybrid at every K ---
 run probe_dlmc_k128_r3.log python scripts/probe_configs.py \
   --matrix dlmc --k 128 --skip-check --configs \
   "a=0.3,d=0.05;a=0.3,d=0.0;a=0.3,d=0.05,apanels=1;a=0.3,d=0.05,pallas=1;a=0.3,d=0.05,pallas=1,apanels=1"
@@ -65,10 +79,9 @@ run probe_dense_dlmc_k32_r3.log python scripts/probe_dense_dlmc.py --k 32
 run probe_dense_dlmc_k64_r3.log python scripts/probe_dense_dlmc.py --k 64
 run probe_dense_dlmc_k256_r3.log python scripts/probe_dense_dlmc.py --k 256
 
-# --- 3. device clustering throughput at scale ---
-run probe_device_cluster_r3.log python scripts/probe_cluster.py
+fold dlmc
 
-# --- 3b. K=64: the committed configs are round-2 winners that never
+# --- 3. K=64: the committed configs are round-2 winners that never
 #         saw the pallas/apanels twins; close the loop like K=128 ---
 run probe_k64_clustered16_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 64 --skip-check --configs \
@@ -86,34 +99,36 @@ run probe_k64_powerlaw_r3.log python scripts/probe_configs.py \
   --matrix powerlaw --k 64 --skip-check --configs \
   "a=0.5,d=0.05;a=0.5,d=0.05,hub=2048;a=0.5,d=0.05,hub=2048,apanels=1"
 
-# --- 4. small-K a_layout check (A descriptors are narrow/fast there;
-#         expect a wash — measure to be sure); candidate 1 IS the
-#         committed config (g=4 merge=0) so the fold is exact ---
+# --- 4. small-K a_layout check; candidate 1 IS the committed config
+#         (g=4 merge=0) so the fold is exact ---
 run probe_k32_apanels_r3.log python scripts/probe_configs.py \
   --matrix clustered16 --k 32 --skip-check --configs \
   "a=0.3,d=0.0,g=4,merge=0;a=0.3,d=0.0,g=4,merge=0,apanels=1;a=0.3,d=0.05,pallas=1"
 
-# --- 4a. B-gather address-locality hypothesis (first-use gid order) ---
+fold k64_k32
+
+# --- 5. diagnostics (no fold): device clustering at scale, B-gather
+#         address-locality hypothesis, panels stage attribution ---
+run probe_device_cluster_r3.log python scripts/probe_cluster.py
+
 run probe_gid_order_clustered16_r3.log python scripts/probe_gid_order.py \
   --matrix clustered16 --k 128 --skip-check
 run probe_gid_order_powerlaw_r3.log python scripts/probe_gid_order.py \
   --matrix powerlaw --k 128 --alpha 0.1 --skip-check
 
-# --- 4b. stage-level attribution of the panels layout ---
 run probe_breakdown_clustered16_r3.log python scripts/probe_breakdown.py \
   --matrix clustered16 --k 128 --alpha 0.3 --delta 0.05
 
-# --- 5. reproducibility: two consecutive full bench runs on the
-#         committed configs (VERDICT r2 #1: agree within 10%) ---
+git add results/ && git commit -q -m "Round-3 diagnostic probe logs" || true
+
+# --- 6. reproducibility + final K=128 headline: two consecutive full
+#         bench runs on the folded configs (VERDICT r2 #1: within 10%) ---
 run bench_r3_runA.log python bench.py --verbose
 run bench_r3_runB.log python bench.py --verbose
-
-# --- 6. fold probe winners into tuned_configs.json (contract-validated,
-#         reverts on FAIL), then the final headline benches + breadth
-#         suite — fully autonomous, no human in the loop ---
-run autofold_r3.log python scripts/r3_autofold.py --validate
 git add results/ && git commit -q \
-  -m "Round-3 TPU probe logs + autofolded tuned configs" || true
+  -m "Round-3 K=128 headline A/B benches on folded configs" || true
+
+# --- 7. final benches at the other Ks + detached breadth suite ---
 bash scripts/r3_post_queue.sh
 
 echo "queue done"
