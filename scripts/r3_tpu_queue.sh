@@ -110,6 +110,11 @@ fold k64_k32
 # --- 5. diagnostics (no fold): device clustering at scale, B-gather
 #         address-locality hypothesis, panels stage attribution ---
 run probe_device_cluster_r3.log python scripts/probe_cluster.py
+# mid-scale (m=65536, ~341 nnz/row): host greedy measured 57 s here but
+# the m<=100k auto-route keeps it on host — measure whether the device
+# path should own this regime too (threshold lead, round 4)
+run probe_device_cluster_mid_r3.log python scripts/probe_cluster.py \
+  --row-groups 4096 --col-groups 4096 --block-prob 0.008
 
 run probe_gid_order_clustered16_r3.log python scripts/probe_gid_order.py \
   --matrix clustered16 --k 128 --skip-check
