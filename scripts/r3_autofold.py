@@ -207,7 +207,6 @@ def main(argv=None) -> int:
             continue
         print(f"  {key}/{matrix}: {old} -> {new}")
         staged.append((key, matrix, old, new, "hybrid"))
-        data.setdefault(key, {})[matrix] = new
 
     print("== dense-vs-hybrid arbitration (dlmc) ==")
     for k in (32, 64, 128, 256):
@@ -217,31 +216,39 @@ def main(argv=None) -> int:
             new = {"dense": True}
             if old != new:
                 staged.append((key, "dlmc", old, new, "dense"))
-                data.setdefault(key, {})["dlmc"] = new
 
-    if args.validate and staged:
+    if args.dry_run:
+        print(f"(dry run: {len(staged)} changes, not writing)")
+        return 0
+
+    # Validate-then-apply, writing after EVERY accepted entry: a kill
+    # mid-run leaves only already-validated configs on disk (never an
+    # unvalidated one), and a rerun re-derives the rest from the same
+    # logs (folds are idempotent).
+    if staged and args.validate:
         print("== validating staged changes on device ==")
-        dense_ok = {}
-        for key, matrix, old, new, kind in staged:
-            k = int(key[1:])
+    applied = 0
+    dense_ok = {}
+    for key, matrix, old, new, kind in staged:
+        k = int(key[1:])
+        ok = True
+        if args.validate:
             if kind == "dense":
                 if k not in dense_ok:
                     dense_ok[k] = validate_dense(k)
                 ok = dense_ok[k]
             else:
                 ok = validate_hybrid(matrix, k, new)
-            if not ok:
-                print(f"  REVERT {key}/{matrix} -> {old}")
-                if old is None:
-                    data[key].pop(matrix, None)
-                else:
-                    data[key][matrix] = old
+        if not ok:
+            print(f"  SKIP {key}/{matrix} (validation failed), "
+                  f"keeping {old}")
+            continue
+        data.setdefault(key, {})[matrix] = new
+        utc.CONFIGS.write_text(json.dumps(data, indent=4) + "\n")
+        applied += 1
 
-    if args.dry_run:
-        print("(dry run, not writing)")
-        return 0
-    utc.CONFIGS.write_text(json.dumps(data, indent=4) + "\n")
-    print(f"wrote {utc.CONFIGS} ({len(staged)} staged changes)")
+    print(f"wrote {utc.CONFIGS} ({applied}/{len(staged)} staged "
+          "changes applied)")
     return 0
 
 

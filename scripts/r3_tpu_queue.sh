@@ -20,8 +20,15 @@ run() {
   tail -8 "$R/$log"
 }
 
-fold() {  # fold+validate all probe logs present so far, commit
-  run "autofold_$1_r3.log" python scripts/r3_autofold.py --validate
+fold() {  # fold+validate all probe logs present so far, commit.
+  # Own (longer) timeout: a section's validations can sum past the
+  # per-probe cap; autofold writes after every validated entry, so even
+  # a timeout here keeps all already-validated folds.
+  log="autofold_$1_r3.log"
+  echo "=== $log: r3_autofold --validate ==="
+  timeout 5400 python scripts/r3_autofold.py --validate >"$R/$log" 2>&1
+  echo "rc=$?" >>"$R/$log"
+  tail -12 "$R/$log"
   git add results/ && git commit -q \
     -m "Round-3 probe results + autofolded configs ($1)" || true
 }
