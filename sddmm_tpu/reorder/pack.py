@@ -52,12 +52,19 @@ compute path.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 
 import numpy as np
 
 from sddmm_tpu import config
 from sddmm_tpu.data.sparse import CSR
 from sddmm_tpu.reorder.bsmr import BSMR
+
+#: Host-time attribution of the last pack() call, stage -> seconds
+#: (the preprocessing analogue of the reference's per-stage GPU timing,
+#: src/BSMR.cpp:16-25).  Printed when SDDMM_TPU_PACK_TIMING is set.
+last_stage_times: dict = {}
 
 GROUP_LANES = config.DENSE_GROUP_BLOCKS * config.BLOCK_COL_SIZE  # 128
 GROUP_CELLS = config.ROW_PANEL_SIZE * GROUP_LANES                # 2048
@@ -263,6 +270,16 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     (HybridSDDMM kernel timing in packed order does not).  Light packs
     raise on any CSR-order / validation / multi-chip use; re-pack with
     full metadata first (autotune does this for the winner)."""
+    _t0 = time.perf_counter()
+    last_stage_times.clear()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        last_stage_times[name] = (last_stage_times.get(name, 0.0)
+                                  + now - _t0)
+        _t0 = now
+
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
     G = int(bsmr.group_size)
@@ -340,6 +357,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     panel_offset = np.zeros(num_panels, dtype=np.int64)  # 16-row slot
 
     mxu_ns = _mxu_slice16_ns(compute_dtype)
+    _mark("setup")
 
     if window_dp:
         # Cross-window DP (round 3): tile heights are r in {1,2,4,8}
@@ -479,6 +497,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                 panel_offset[p] = j
 
     num_cont = len(cont_family)
+    _mark("carve")
 
     # --- Entry coordinates ---
     rpos = np.full(m, -1, dtype=np.int64)
@@ -494,6 +513,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     hub_e = (entry_gid < H // G if H
              else np.zeros(csr.nnz, dtype=bool))
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
+
+    _mark("coords")
 
     def chunks_of(cid: int) -> int:
         return max(padded(len(cont_groups[cid])) // LG, 1)
@@ -536,6 +557,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         for cid in cids:
             cont_bucket[cid] = assign[counts[cid]]
 
+    _mark("buckets")
+
     def bucket_of_cid(cid: int) -> int:
         return int(cont_bucket[cid])
 
@@ -567,6 +590,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
             pick = u_gid[start[cid]:end[cid]][:free]
             if len(pick):
                 cont_groups[cid] = np.concatenate([cont_groups[cid], pick])
+
+    _mark("absorb")
 
     # --- Build the three tile families, bucketed run-major ---
     # Containers of a family are sorted by their assigned chunk-count
@@ -655,6 +680,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     quad_rows_a, quad_gids, quad_cols, quad_csr = build_family(_FAM_QUAD)
     pair_rows_a, pair_gids, pair_cols, pair_csr = build_family(_FAM_PAIR)
     group_rows, group_gids, group_cols, group_csr = build_family(_FAM_GROUP)
+    _mark("tiles")
     num_super, num_quads, num_pairs, num_groups = (
         len(fam_gids_arr[_FAM_SUPER]), len(fam_gids_arr[_FAM_QUAD]),
         len(fam_gids_arr[_FAM_PAIR]), len(fam_gids_arr[_FAM_GROUP]))
@@ -732,6 +758,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         tab_tile = np.zeros(0, dtype=np.int64)
         tab_lgrp = np.zeros(0, dtype=np.int64)
 
+    _mark("join")
+
     ekey = cont_e * np.int64(NG + 1) + entry_gid
     if len(tab_key):
         j = np.minimum(np.searchsorted(tab_key, ekey), len(tab_key) - 1)
@@ -763,6 +791,8 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
             sel = matched & (fam_e == f)
             csr_arr[tile_e[sel], local_row[sel],
                     lane_m[sel]] = entry_idx[sel]
+
+    _mark("match")
 
     if np.any(matched & hub_e):
         raise AssertionError("hub column matched a dense tile "
@@ -814,6 +844,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                                               dtype=np.int32)
     else:
         packed_rows = packed_cols = csr_dest = None
+    _mark("metadata")
 
     # Container topology for multi-chip partitioning.
     cont_panel_off = np.zeros(num_cont + 1, dtype=np.int64)
@@ -824,6 +855,12 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                       if num_cont else np.zeros(0, dtype=np.int64))
     run_cont = {f: np.asarray(fam_conts[f], dtype=np.int64)
                 for f in fam_conts}
+    _mark("topology")
+    if os.environ.get("SDDMM_TPU_PACK_TIMING"):
+        total = sum(last_stage_times.values())
+        print("pack stages: " + " ".join(
+            f"{k}={v:.2f}s" for k, v in last_stage_times.items())
+            + f" total={total:.2f}s")
 
     return PackedMatrix(
         m=m, n=n, k_hint=k_hint, nnz=csr.nnz,
