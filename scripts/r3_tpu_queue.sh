@@ -131,6 +131,12 @@ run probe_gid_order_powerlaw_r3.log python scripts/probe_gid_order.py \
 run probe_breakdown_clustered16_r3.log python scripts/probe_breakdown.py \
   --matrix clustered16 --k 128 --alpha 0.3 --delta 0.05
 
+# residual formulation decision for the gather-bound regimes (uniform/
+# hypersparse): does the engine coalesce row-sorted descriptors, and
+# does row-bucketing (1 A descriptor/row) beat per-entry gathers?
+run probe_residual_rowmajor_r3.log python scripts/probe_residual_rowmajor.py
+run probe_residual_rowmajor_d60_r3.log python scripts/probe_residual_rowmajor.py --deg 60
+
 git add results/ && git commit -q -m "Round-3 diagnostic probe logs" || true
 
 # --- 6. reproducibility + final K=128 headline: two consecutive full
