@@ -132,6 +132,10 @@ def wait_free(max_wait_s: float = 900.0, poll_s: float = 10.0,
         info = holder()
         if info is None:
             return True
+        # a holder in our own process group is us (e.g. bench.py run
+        # from inside a lock-holding queue wrapper) — not contention
+        if int(info.get("pgid", -1)) == os.getpgrp():
+            return True
         if not warned:
             log(f"tpulock: waiting for '{info.get('tag')}' "
                 f"(pid={info.get('pid')})")
