@@ -293,11 +293,19 @@ def main():
         roofs[name] = round(roof_ms / ms, 3)
 
         # CSR-entry-order delivery (includes the packed->CSR conversion,
-        # matching the reference's output convention).
-        ms_csr = runner.measure_kernel_ms(
-            a_pad, bt_pad, iterations=max(args.iterations // 2, 10),
-            repeats=3, order="csr")
-        results_csr_order[name] = gflops(csr.nnz, args.k, ms_csr)
+        # matching the reference's output convention).  A failure here
+        # (e.g. the axon remote-compile 413 body-size limit on very
+        # large flat layouts) must not kill the whole headline run —
+        # report 0 with a warning and keep the packed-order number.
+        try:
+            ms_csr = runner.measure_kernel_ms(
+                a_pad, bt_pad, iterations=max(args.iterations // 2, 10),
+                repeats=3, order="csr")
+            results_csr_order[name] = gflops(csr.nnz, args.k, ms_csr)
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            warnings.append(f"{name}: csr-order timing failed: "
+                            f"{type(e).__name__}: {str(e)[:200]}")
+            results_csr_order[name] = 0.0
 
         # Same-chip csr gather-dot baseline (the cuSPARSE-equivalent):
         # measures algorithmic speedup independent of hardware.
@@ -348,8 +356,10 @@ def main():
         "per_matrix": {k: round(v, 1) for k, v in results.items()},
         "per_matrix_csr_order": {k: round(v, 1)
                                  for k, v in results_csr_order.items()},
-        "geomean_csr_order": round(float(np.exp(np.mean(np.log(np.maximum(
-            list(results_csr_order.values()), 1e-9))))), 1),
+        # zeros are failed csr-order timings (see warnings) — excluded
+        "geomean_csr_order": round(float(np.exp(np.mean(np.log(
+            [v for v in results_csr_order.values() if v > 0] or [1e-9])))),
+            1),
         "sol_fraction": sols,
         "roofline_fraction": roofs,
         "speedup_vs_csr_same_chip": csr_ratio,

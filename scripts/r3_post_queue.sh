@@ -13,7 +13,7 @@ R=results
 run() {
   log=$1; shift
   echo "=== $log: $* ==="
-  timeout 3000 "$@" >"$R/$log" 2>&1
+  timeout --foreground 3000 "$@" >"$R/$log" 2>&1
   echo "rc=$?" >>"$R/$log"
   tail -4 "$R/$log"
 }

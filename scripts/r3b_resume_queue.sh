@@ -20,7 +20,7 @@ run() {
     return 0
   fi
   echo "=== $log: $* ==="
-  timeout 2400 "$@" >"$R/$log" 2>&1
+  timeout --foreground 2400 "$@" >"$R/$log" 2>&1
   echo "rc=$?" >>"$R/$log"
   tail -8 "$R/$log"
 }
@@ -28,7 +28,7 @@ run() {
 fold() {  # fold+validate all probe logs present so far, commit.
   log="autofold_$1_r3.log"
   echo "=== $log: r3_autofold --validate ==="
-  timeout 5400 python scripts/r3_autofold.py --validate >"$R/$log" 2>&1
+  timeout --foreground 5400 python scripts/r3_autofold.py --validate >"$R/$log" 2>&1
   echo "rc=$?" >>"$R/$log"
   tail -12 "$R/$log"
   git add results/ && git commit -q \

@@ -178,17 +178,20 @@ class DenseSDDMM:
         ``optimization_barrier`` + tiny slice stands in for the consumer
         so the full (M, N) HBM write — the strategy's dominant byte term
         — cannot be fused away into the reduction."""
-        if order == "csr":
-            gather = self._csr_gather_ops()
+        # nnz-sized gather indices enter as a jit ARGUMENT, not a
+        # closure constant — closed-over arrays are inlined into the
+        # HLO as literals and blow the axon remote-compile request
+        # limit at suite scale (HTTP 413; see hybrid.make_looped_fn).
+        gather = self._csr_gather_ops() if order == "csr" else None
 
-        def looped(a_dev, bt_dev):
+        def looped(a_dev, bt_dev, gather_ix):
             def body(_, carry):
                 live = carry > jnp.float32(-1e30)
                 a_i = jnp.where(live, a_dev, jnp.zeros_like(a_dev))
                 out = _dense_full_jit(a_i, bt_dev,
                                       compute_dtype=self.compute_dtype)
                 if order == "csr":
-                    flat_idx, rows_cols = gather
+                    flat_idx, rows_cols = gather_ix
                     out = (jnp.take(out.reshape(-1), flat_idx)
                            if flat_idx is not None
                            else out[rows_cols[0], rows_cols[1]])
@@ -199,7 +202,8 @@ class DenseSDDMM:
 
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
-        return jax.jit(looped)
+        jitted = jax.jit(looped)
+        return lambda a_dev, bt_dev: jitted(a_dev, bt_dev, gather)
 
     def measure_kernel_ms(self, a_dev, bt_dev, iterations: int = 50,
                           repeats: int = 3, order: str = "packed") -> float:

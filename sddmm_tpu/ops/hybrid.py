@@ -595,7 +595,34 @@ class HybridSDDMM:
         masked by an always-true predicate on the carry — opaque to the
         compiler, exact at runtime."""
 
-        def looped(a_pad, bt_phys):
+        # The index arrays enter the jitted program as ARGUMENTS (one
+        # pytree), never as closure constants: jit inlines closed-over
+        # arrays into the HLO as literals, and at suite scale the
+        # serialized module then exceeds the axon remote-compile request
+        # body limit (observed: HTTP 413 on the powerlaw hub config,
+        # whose nnz-sized csr_dest/inv_idx alone are ~4 MB each).
+        idx = {
+            "super_rows": self._super_rows, "super_gids": self._super_gids,
+            "quad_rows": self._quad_rows, "quad_gids": self._quad_gids,
+            "pair_rows": self._pair_rows, "pair_gids": self._pair_gids,
+            "group_rows": self._group_rows, "group_gids": self._group_gids,
+            "res_rows": self._res_rows, "res_gids": self._res_gids,
+            "res_member": self._res_member,
+            "pst": dict(self._fam_pst),
+        }
+        csr_strategy = None
+        if order == "csr":
+            if self._csr_dest is None:
+                raise ValueError("light packing (full_metadata=False) has "
+                                 "no CSR-order metadata; re-pack with full "
+                                 "metadata")
+            idx["csr_dest"] = self._csr_dest
+            idx["inv_idx"] = self._inv_idx
+            csr_strategy = ("sort" if self._csr_dest.shape[0] > 200_000
+                            and jax.devices()[0].platform != "cpu"
+                            else "gather")
+
+        def looped(a_pad, bt_phys, ix):
             a_pad, a_panels = self._norm_a(a_pad)
             if bt_phys.ndim == 2:
                 bt_phys = bt_phys[None]
@@ -608,27 +635,27 @@ class HybridSDDMM:
                 # of the loop body), free at runtime.
                 live = carry > jnp.float32(-1e30)
 
-                def mask(ix):
-                    return jnp.where(live, ix, jnp.zeros_like(ix))
+                def mask(ix_):
+                    return jnp.where(live, ix_, jnp.zeros_like(ix_))
 
-                def mask_opt(ix):
-                    return None if ix is None else mask(ix)
+                def mask_opt(ix_):
+                    return None if ix_ is None else mask(ix_)
 
                 flat = _hybrid_packed_jit(
                     a_pad, bt_phys,
-                    mask(self._super_rows), mask(self._super_gids),
-                    mask(self._quad_rows), mask(self._quad_gids),
-                    mask(self._pair_rows), mask(self._pair_gids),
-                    mask(self._group_rows), mask(self._group_gids),
-                    mask(self._res_rows), mask(self._res_gids),
-                    mask(self._res_member),
+                    mask(ix["super_rows"]), mask(ix["super_gids"]),
+                    mask(ix["quad_rows"]), mask(ix["quad_gids"]),
+                    mask(ix["pair_rows"]), mask(ix["pair_gids"]),
+                    mask(ix["group_rows"]), mask(ix["group_gids"]),
+                    mask(ix["res_rows"]), mask(ix["res_gids"]),
+                    mask(ix["res_member"]),
                     hub_start=(jnp.where(live, jnp.int32(0), jnp.int32(1))
                                if self.packed.hub_cols else None),
                     a_panels=a_panels,
-                    super_pst=mask_opt(self._fam_pst["super"]),
-                    quad_pst=mask_opt(self._fam_pst["quad"]),
-                    pair_pst=mask_opt(self._fam_pst["pair"]),
-                    group_pst=mask_opt(self._fam_pst["group"]),
+                    super_pst=mask_opt(ix["pst"]["super"]),
+                    quad_pst=mask_opt(ix["pst"]["quad"]),
+                    pair_pst=mask_opt(ix["pst"]["pair"]),
+                    group_pst=mask_opt(ix["pst"]["group"]),
                     compute_dtype=self.compute_dtype,
                     g=self.packed.group_size, kc=kc,
                     pallas_dots=self.use_pallas,
@@ -638,12 +665,16 @@ class HybridSDDMM:
                     group_buckets=self.packed.group_buckets,
                     h=self.packed.hub_cols)
                 if order == "csr":
-                    flat = self.to_csr_order(flat)
+                    flat = _to_csr_order_jit(flat, ix["csr_dest"],
+                                             ix["inv_idx"],
+                                             nnz=self.packed.nnz,
+                                             strategy=csr_strategy)
                 return jnp.sum(flat) * jnp.float32(1e-38)
 
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
-        return jax.jit(looped)
+        jitted = jax.jit(looped)
+        return lambda a_pad, bt_phys: jitted(a_pad, bt_phys, idx)
 
     def measure_kernel_ms(self, a_pad, bt_phys, iterations: int = 50,
                           repeats: int = 3, order: str = "packed") -> float:

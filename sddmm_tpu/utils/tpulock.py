@@ -84,6 +84,30 @@ def release() -> None:
         pass
 
 
+def _pgid_of(pid: int) -> int:
+    try:
+        return os.getpgid(pid)
+    except (ProcessLookupError, PermissionError):
+        return -1
+
+
+def _ancestor_pids() -> set[int]:
+    """PIDs of every ancestor of this process (via /proc ppid chain)."""
+    pids: set[int] = set()
+    pid = os.getpid()
+    for _ in range(128):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        if ppid <= 1:
+            break
+        pids.add(ppid)
+        pid = ppid
+    return pids
+
+
 def preempt_preemptible(log=print, grace_s: float = 20.0) -> list[str]:
     """Evict a live preemptible holder by its exact recorded pgid.
 
@@ -98,6 +122,14 @@ def preempt_preemptible(log=print, grace_s: float = 20.0) -> list[str]:
     pid, pgid = int(info["pid"]), int(info.get("pgid", -1))
     tag = info.get("tag", "?")
     if pgid <= 1 or pgid == os.getpgrp():
+        return notes
+    # Never evict our own ancestry: a bench launched from inside a
+    # lock-holding queue wrapper may sit in a DIFFERENT process group
+    # (GNU `timeout` setpgid's its child), but killing the recorded
+    # group would take down our own parent tree (observed: the r3b
+    # queue self-evicting via its own bench run).
+    anc = _ancestor_pids()
+    if pid in anc or any(_pgid_of(a) == pgid for a in anc):
         return notes
     log(f"tpulock: preempting '{tag}' (pid={pid} pgid={pgid})")
     try:
