@@ -78,6 +78,65 @@ def load_tuned_config(name: str, k: int):
     return data.get(f"k{k}", {}).get(name)
 
 
+# committed-config schema: key -> required type(s).  "dense" entries
+# carry only {"dense": true}.
+_CFG_KEYS = {"alpha": float, "delta": float, "g": int, "c": int,
+             "merge": bool, "hub": int, "pallas": bool,
+             "a_layout": str, "window_dp": bool, "dense": bool}
+
+
+def validate_tuned_configs() -> list:
+    """Parse + schema-check every committed config.  Runs on EVERY bench
+    invocation including ``--quick`` so the CPU smoke run catches a
+    malformed entry (typo'd key, wrong type, unknown a_layout) before it
+    crashes a 30-minute TPU run (VERDICT r3 weak #8)."""
+    errors = []
+    try:
+        data = json.loads(TUNED_CONFIGS.read_text())
+    except OSError:
+        return errors  # no committed configs is a valid state
+    except json.JSONDecodeError as e:
+        return [f"tuned_configs.json: invalid JSON: {e}"]
+    for kkey, per_matrix in data.items():
+        if kkey.startswith("_"):
+            continue
+        if not (kkey.startswith("k") and kkey[1:].isdigit()):
+            errors.append(f"tuned_configs.json: bad K key {kkey!r}")
+            continue
+        for name, cfg in per_matrix.items():
+            where = f"tuned_configs.json[{kkey}][{name}]"
+            if not isinstance(cfg, dict):
+                errors.append(f"{where}: not an object")
+                continue
+            for key, val in cfg.items():
+                want = _CFG_KEYS.get(key)
+                if want is None:
+                    errors.append(f"{where}: unknown key {key!r}")
+                elif want is float:
+                    if not isinstance(val, (int, float)):
+                        errors.append(f"{where}.{key}: not a number")
+                elif want is int:
+                    if not isinstance(val, int) or isinstance(val, bool):
+                        errors.append(f"{where}.{key}: not an int")
+                elif not isinstance(val, want):
+                    errors.append(f"{where}.{key}: expected "
+                                  f"{want.__name__}")
+            if cfg.get("dense"):
+                extra = set(cfg) - {"dense"}
+                if extra:
+                    errors.append(f"{where}: dense entry with extra "
+                                  f"keys {sorted(extra)}")
+            else:
+                for req in ("alpha", "delta"):
+                    if req not in cfg:
+                        errors.append(f"{where}: missing {req!r}")
+                if cfg.get("a_layout", "rows") not in ("rows", "panels"):
+                    errors.append(f"{where}.a_layout: "
+                                  f"{cfg['a_layout']!r} not in "
+                                  "('rows', 'panels')")
+    return errors
+
+
 def sol_ms_of(packed, k: int, compute_dtype: str) -> float:
     """Speed-of-light floor: minimum HBM bytes this packing must move —
     UNIQUE gathered B rows and A rows (repeated descriptors can be
@@ -139,6 +198,15 @@ def main():
         if args.verbose:
             print(msg, file=sys.stderr)
 
+    cfg_errors = validate_tuned_configs()
+    if cfg_errors:
+        # malformed committed configs must fail LOUDLY in --quick (CI)
+        # rather than 25 minutes into a TPU run
+        for e in cfg_errors:
+            print(f"ERROR: {e}", file=sys.stderr)
+        raise SystemExit(f"{len(cfg_errors)} malformed entries in "
+                         f"{TUNED_CONFIGS}")
+
     on_device = jax.devices()[0].platform != "cpu"
     warnings = []
     if on_device:
@@ -155,6 +223,20 @@ def main():
             warnings.append("tpulock: chip still held by another "
                             "measurement; numbers may be contended")
         tpulock.acquire("bench")
+    canary_start = canary_end = None
+    if on_device:
+        # chip-rate canary (VERDICT r3 next #4): tags this session's
+        # effective chip speed vs the committed calibration so numbers
+        # reproduce across days (tunnel drift observed up to 1.86x)
+        from sddmm_tpu.utils.canary import format_canary, measure_canary
+        canary_start = measure_canary()
+        log(format_canary(canary_start))
+        r = canary_start.get("ratio")
+        if r and not (0.75 <= r <= 1.35):
+            warnings.append(
+                f"canary ratio {r} — chip rate far from calibration; "
+                "absolute GFLOPS not comparable with committed records "
+                "without normalization")
     results = {}
     results_csr_order = {}
     sols = {}
@@ -345,8 +427,19 @@ def main():
             f"csr_order={results_csr_order[name]:.0f} "
             f"({time.perf_counter() - t0:.0f}s total)")
 
-    geomean = float(np.exp(np.mean(np.log(np.maximum(
-        list(results.values()), 1e-9)))))
+    if on_device:
+        canary_end = measure_canary()
+        log(format_canary(canary_end))
+
+    def gm(vals):
+        return float(np.exp(np.mean(np.log(np.maximum(vals, 1e-9)))))
+
+    geomean = gm(list(results.values()))
+    # backward-comparable 4-matrix geomean (rounds 1-2 suite, before
+    # dlmc joined in round 3 — VERDICT r3 weak #1)
+    base4 = [results[n] for n in
+             ("clustered16", "clustered128", "powerlaw", "banded")
+             if n in results]
     out = {
         "metric": f"hybrid_sddmm_geomean_gflops_k{args.k}",
         "value": round(geomean, 1),
@@ -368,6 +461,20 @@ def main():
         "timing_sessions_ms": sessions_ms,
         "tuning_s": tuning_s,
     }
+    if len(base4) == 4:
+        out["value_4matrix"] = round(gm(base4), 1)
+    if canary_start is not None:
+        out["canary"] = canary_start
+        out["canary_end"] = canary_end
+        # normalized headline: per-matrix GFLOPS scaled by the session's
+        # gather-canary ratio (the hybrid is gather-engine-bound; a slow
+        # chip day inflates ms -> deflates GFLOPS by the same factor)
+        rs = [x for x in (canary_start.get("gather_ratio"),
+                          canary_end.get("gather_ratio")) if x]
+        if rs:
+            norm = float(np.exp(np.mean(np.log(rs))))
+            out["value_normalized"] = round(geomean * norm, 1)
+            out["canary_gather_ratio_used"] = round(norm, 3)
     if warnings:
         out["warnings"] = warnings
         for w in warnings:

@@ -61,6 +61,13 @@ def main(argv=None) -> int:
     from sddmm_tpu.utils.check import check_values
     from sddmm_tpu.utils.timing import gflops
 
+    import jax
+    canary = None
+    if jax.devices()[0].platform != "cpu":
+        from sddmm_tpu.utils.canary import format_canary, measure_canary
+        canary = measure_canary()
+        print(format_canary(canary), flush=True)
+
     csr = bench.suite(False)[args.matrix]()
     specs = [parse_spec(s) for s in args.configs.split(";") if s.strip()]
     a = generate.make_dense(csr.m, args.k, seed=1)
@@ -121,6 +128,9 @@ def main(argv=None) -> int:
         if best is None or med < best[1]:
             best = (tag, med)
     print(f"winner: [{best[0]}] {best[1]:.4f} ms")
+    if canary is not None:
+        from sddmm_tpu.utils.canary import format_canary, measure_canary
+        print("end " + format_canary(measure_canary()), flush=True)
     return 0
 
 

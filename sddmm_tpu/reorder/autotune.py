@@ -257,36 +257,60 @@ def estimate_dense_ms(m: int, n: int, k: int,
 def descriptor_floor_ms(packed: PackedMatrix, k: int,
                         compute_dtype: str = "tf32", k_chunks: int = 1,
                         a_layout: str = "rows") -> float:
-    """Gather-engine floor for this packing: the minimum time the XLA
-    take engine needs to issue the configuration's descriptors at the
-    *peak measured* per-width row rate (no source-footprint or payload
-    penalties).  Unlike the unique-bytes floor (bench.sol_ms_of), this
-    is a roofline descriptor-bound regimes can actually reach — the
-    gather engine, not HBM, is the binding resource at K<=128
-    (docs/performance.md "descriptor-rate roofline").  The achievable
-    roofline is max(bytes floor, this floor, MXU floor)."""
+    """Gather-engine floor for this packing: the time the XLA take
+    engine needs to issue the configuration's descriptors at the
+    measured rate for the config's ACTUAL descriptor widths and
+    gather-source footprints (the same measured (width, footprint)
+    surface estimate_ms prices with, probes in scripts/calibrate.py /
+    probe_breakdown.py).  Unlike the unique-bytes floor
+    (bench.sol_ms_of), this is a roofline descriptor-bound regimes can
+    actually reach — the gather engine, not HBM, is the binding
+    resource at K<=128 (docs/performance.md "descriptor-rate
+    roofline").  The achievable roofline is max(bytes floor, this
+    floor, MXU floor).
+
+    Round-3 shipped this floor priced at best-width x best-footprint
+    (max-of-maxima), so optimistic it never bound anywhere — even on
+    powerlaw, where the breakdown probe shows the B gather is ~70% of
+    the call (VERDICT r3 weak #3).  Now it prices each descriptor
+    stream at its own measured rate."""
+    a_el, b_el = _ELEM_BYTES[compute_dtype]
     G, C = packed.group_size, int(k_chunks)
+    kc = k // C
     LG = GROUP_LANES // G
     n_tiles = (packed.num_super + packed.num_quads
                + packed.num_pairs + packed.num_groups)
-    b_rows = (n_tiles * LG + packed.nnz_res) * C
+    # B stream: LG group descriptors per tile per chunk + one per
+    # residual entry per chunk, at the grouped-B^T width and footprint.
+    b_bytes = G * kc * b_el
+    b_src_mb = (packed.num_col_groups + 1) * b_bytes / 1e6
+    b_rows = n_tiles * LG + packed.nnz_res
     b_uniq = min(b_rows, packed.num_col_groups + 1)
+    eff_b = b_uniq + _REPEAT_COST * max(b_rows - b_uniq, 0)
+    t_b = C * eff_b / _row_rate(b_bytes, b_src_mb)
+    # A stream: per-row (or per-panel) full-K descriptors + residual.
+    a_src_mb = (packed.m + 1) * k * a_el / 1e6
     if a_layout == "panels":
-        a_rows = packed.num_panels + packed.nnz_res
+        # containers fetch one 16-row panel descriptor per panel
+        # (super=8 panels, quad=4, pair=2, group=1)
+        a_rows = (sum(n * 8 for _, _, n in packed.super_buckets)
+                  + sum(n * 4 for _, _, n in packed.quad_buckets)
+                  + sum(n * 2 for _, _, n in packed.pair_buckets)
+                  + sum(n * 1 for _, _, n in packed.group_buckets))
         a_uniq = min(a_rows, packed.num_panels)
+        eff_a = a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0)
+        t_a = eff_a / _row_rate(16 * k * a_el, a_src_mb)
     else:
         a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
                   + sum(n * 64 for _, _, n in packed.quad_buckets)
                   + sum(n * 32 for _, _, n in packed.pair_buckets)
-                  + sum(n * 16 for _, _, n in packed.group_buckets)
-                  + packed.nnz_res)
+                  + sum(n * 16 for _, _, n in packed.group_buckets))
         a_uniq = min(a_rows, packed.num_panels * 16)
-    eff = (b_uniq + _REPEAT_COST * max(b_rows - b_uniq, 0)
-           + a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0))
-    # most optimistic issue rate the model admits: best measured width
-    # at the best (VMEM-window) source-footprint factor
-    peak = max(_ROW_RATE_8MB.values()) * 1e6 * float(np.max(_SRC_F))
-    return eff / peak * 1e3
+        eff_a = a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0)
+        t_a = eff_a / _row_rate(k * a_el, a_src_mb)
+    # residual A-row descriptors (full-K rows from the padded A source)
+    t_ra = packed.nnz_res / _row_rate(k * a_el, a_src_mb)
+    return (t_b + t_a + t_ra) * 1e3
 
 
 def _candidate_layouts(n: int, k: int, compute_dtype: str):

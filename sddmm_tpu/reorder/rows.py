@@ -264,6 +264,39 @@ def _device_cluster_viable(m: int, num_blocks: int) -> bool:
         return False
 
 
+#: seconds of estimated host-greedy time above which auto routing
+#: prefers the accelerator / multi-leader path.  Override with
+#: SDDMM_TPU_HOST_CLUSTER_BUDGET_S.
+HOST_CLUSTER_BUDGET_S = 5.0
+#: measured speedup of the native C++ greedy loop over the numpy
+#: _greedy_cluster the routing sample is timed with (probe:
+#: results/probe_device_cluster_mid_r4.log).
+NATIVE_GREEDY_SPEEDUP = 15.0
+
+
+def _route_by_cost(t_sample_s: float, n_order: int, m: int,
+                   num_blocks: int) -> str:
+    """Pick greedy vs device vs batched from the measured sample time.
+
+    Greedy cost ~ rows x clusters x support; with cluster count roughly
+    proportional to rows on clusterable matrices, full-matrix host time
+    extrapolates as t_sample * (rows/2048)^2, discounted by the native
+    C++ loop's measured speedup when it will actually run."""
+    import os
+
+    from sddmm_tpu import native
+
+    budget = float(os.environ.get("SDDMM_TPU_HOST_CLUSTER_BUDGET_S",
+                                  HOST_CLUSTER_BUDGET_S))
+    scale = (n_order / 2048.0) ** 2
+    est_host_s = t_sample_s * scale / (NATIVE_GREEDY_SPEEDUP
+                                       if native.available() else 1.0)
+    if est_host_s <= budget:
+        return "greedy"
+    return ("device" if _device_cluster_viable(m, num_blocks)
+            else "batched")
+
+
 def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
                    method: str = "auto",
                    col_block_size: Optional[int] = None,
@@ -281,19 +314,6 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
     order = nonempty[np.argsort(disp[nonempty], kind="stable")]
 
     auto = method == "auto"
-    if auto:
-        if len(order) <= 100_000:
-            method = "greedy"
-        else:
-            # Large matrices: prefer the accelerator-resident clustering
-            # when a non-CPU backend is up and the dense (m, B) encoding
-            # fits comfortably in HBM; else the host multi-leader path.
-            # (Reference runs clustering on-GPU,
-            # src/rowReordering.cu:1027-1095.)  Kill-switch:
-            # SDDMM_TPU_DEVICE_CLUSTER=0 forces host, =1 forces device.
-            method = ("device"
-                      if _device_cluster_viable(m, num_blocks)
-                      else "batched")
     # Early bail for matrices that refuse to cluster (power-law graphs):
     # greedy-cluster a *contiguous* sample of the dispersion order (rows
     # with identical occupancy patterns have identical dispersion, so
@@ -303,13 +323,32 @@ def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,
     # nothing (measured: identical kernel time on power-law either way),
     # so keep the dispersion order with per-row clusters.  Only applied
     # when the method was chosen automatically.
-    if auto and len(order) > 8192:
-        mid = (len(order) - 2048) // 2
-        sample = order[mid:mid + 2048]
-        _, ncl_s = _greedy_cluster(
-            sample, block_ptr, block_idx, block_cnt, num_blocks, alpha)
-        if ncl_s > 0.7 * len(sample):
-            method = "unclusterable"
+    #
+    # The same timed sample then drives COST-BASED routing (the
+    # reference clusters on-GPU always, src/rowReordering.cu:1027-1095):
+    # greedy is O(rows x clusters x support), so the full-matrix host
+    # cost extrapolates quadratically from the sample's wall time, and
+    # matrices whose estimated host time exceeds a budget go to the
+    # accelerator path (or the multi-leader host approximation when no
+    # accelerator is up) regardless of row count — replacing round-3's
+    # blanket "m <= 100k -> host greedy" row-count rule (VERDICT r3
+    # next #7).
+    if auto:
+        method = "greedy"
+        if len(order) > 8192:
+            import time as _time
+            mid = (len(order) - 2048) // 2
+            sample = order[mid:mid + 2048]
+            t0 = _time.perf_counter()
+            _, ncl_s = _greedy_cluster(
+                sample, block_ptr, block_idx, block_cnt, num_blocks,
+                alpha)
+            t_sample = _time.perf_counter() - t0
+            if ncl_s > 0.7 * len(sample):
+                method = "unclusterable"
+            else:
+                method = _route_by_cost(t_sample, len(order), m,
+                                        num_blocks)
     if method == "unclusterable":
         cluster_of = np.full(m, -1, dtype=np.int64)
         cluster_of[order] = np.arange(len(order), dtype=np.int64)

@@ -1,0 +1,101 @@
+"""Window-plan CSR-order delivery (ops/csr_order): exactness vs the
+direct gather, bucket handling, and the HybridSDDMM integration.
+
+The contract is bit-exactness: the one-hot select multiplies by 0/1 in
+fp32, so ``window_select(flat) == flat[inv_idx]`` element-for-element
+(reference output convention: matrixP[csrIdx],
+src/sddmmKernel.cu:213-355).
+"""
+
+import numpy as np
+import pytest
+
+from sddmm_tpu.ops.csr_order import build_window_plan, window_select
+
+
+def _check(inv_idx, flat_size, seed=0):
+    rng = np.random.default_rng(seed)
+    flat = rng.standard_normal(flat_size).astype(np.float32)
+    plan = build_window_plan(inv_idx, flat_size)
+    import jax.numpy as jnp
+    out = np.asarray(window_select(jnp.asarray(flat),
+                                   plan.device_arrays(),
+                                   plan.nnz))
+    np.testing.assert_array_equal(out, flat[inv_idx])
+    return plan
+
+
+def test_local_permutation_single_bucket():
+    # sources clustered: each out block reads from ~2 atoms
+    rng = np.random.default_rng(1)
+    f = 4096
+    inv = np.arange(f)
+    for blk in range(0, f, 256):
+        rng.shuffle(inv[blk:blk + 256])
+    plan = _check(inv[:3000], f)
+    assert plan.max_s <= 4
+    assert plan.nnz == 3000
+
+
+def test_scattered_permutation_multi_bucket():
+    rng = np.random.default_rng(2)
+    f = 8192
+    inv = rng.permutation(f)[:5000]
+    plan = _check(inv, f)
+    assert plan.max_s > 4          # random sources: wide windows
+    assert len(plan.buckets) >= 1
+    # every output block accounted for exactly once
+    ids = np.concatenate([b[3] for b in plan.buckets])
+    assert sorted(ids) == list(range(plan.num_blocks))
+
+
+def test_repeated_sources_and_tail_block():
+    rng = np.random.default_rng(3)
+    f = 1000                        # not a multiple of 128
+    inv = rng.integers(0, f, size=333)   # repeats allowed
+    _check(inv, f)
+
+
+def test_tiny():
+    _check(np.array([5, 3, 9]), 16)
+
+
+def test_hybrid_window_strategy_matches_reference():
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.ops.reference import sddmm_reference
+    from sddmm_tpu.utils.check import check_values
+
+    csr = generate.block_clustered(64, 64, block_prob=0.08,
+                                   block_density=0.7,
+                                   noise_density=0.001, seed=7)
+    a = generate.make_dense(csr.m, 32, seed=1)
+    b = generate.make_dense(32, csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(csr, compute_dtype="float32")
+    golden = sddmm_reference(a, b, csr)
+    ops = runner.prepare_operands(a, b=b)
+    flat = runner.run_padded(*ops, order="packed")
+    for strategy in ("gather", "sort", "window"):
+        out = np.asarray(runner.to_csr_order(flat, strategy=strategy))
+        res = check_values(golden, out)
+        assert res.passed, (strategy, res.max_rel_err)
+    # window output is bit-identical to the gather route
+    np.testing.assert_array_equal(
+        np.asarray(runner.to_csr_order(flat, strategy="window")),
+        np.asarray(runner.to_csr_order(flat, strategy="gather")))
+
+
+def test_hybrid_looped_fn_window(monkeypatch):
+    from sddmm_tpu.data import generate
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+
+    csr = generate.block_clustered(32, 32, block_prob=0.1,
+                                   block_density=0.8,
+                                   noise_density=0.002, seed=8)
+    a = generate.make_dense(csr.m, 32, seed=1)
+    b = generate.make_dense(32, csr.n, seed=2)
+    runner = HybridSDDMM.from_csr(csr)
+    runner.csr_strategy = "window"
+    ops = runner.prepare_operands(a, b=b)
+    f = runner.make_looped_fn(3, order="csr")
+    assert np.isfinite(float(f(*ops)))

@@ -267,3 +267,27 @@ def test_light_pack_skips_metadata_and_raises_on_csr_use():
         r.run_padded(*ops, order="csr")
     with pytest.raises(ValueError):
         _ = r.packed_rows
+
+
+def test_route_by_cost(monkeypatch):
+    # cost-based clustering routing (VERDICT r3 next #7): cheap sample
+    # -> host greedy regardless of row count; expensive sample -> the
+    # accelerator path (or multi-leader host when no device is viable).
+    from sddmm_tpu.reorder import rows as rows_mod
+
+    # fast sample on a big matrix: extrapolated host time under budget
+    assert rows_mod._route_by_cost(1e-5, 500_000, 500_000, 4096) == \
+        "greedy"
+    # slow sample: over budget -> device when viable, else batched
+    monkeypatch.setattr(rows_mod, "_device_cluster_viable",
+                        lambda m, b: True)
+    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
+        "device"
+    monkeypatch.setattr(rows_mod, "_device_cluster_viable",
+                        lambda m, b: False)
+    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
+        "batched"
+    # env override widens the budget back to host greedy
+    monkeypatch.setenv("SDDMM_TPU_HOST_CLUSTER_BUDGET_S", "1e9")
+    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
+        "greedy"

@@ -60,10 +60,31 @@ def test_release_ignores_foreign_lock(lockfile):
 
 
 def test_wait_free_times_out_on_live_holder(lockfile):
+    # The holder must be a live process in a FOREIGN process group —
+    # wait_free deliberately treats a holder in our own group as
+    # ourselves (a bench run from inside a lock-holding queue wrapper)
+    # and returns immediately, which is what the old in-process version
+    # of this test tripped over.
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(30)"],
+        preexec_fn=os.setsid)
+    try:
+        lockfile.write_text(json.dumps(
+            {"pid": child.pid, "pgid": child.pid, "tag": "bench",
+             "preemptible": False}))
+        assert not tpulock.wait_free(max_wait_s=0.3, poll_s=0.05,
+                                     log=lambda m: None)
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_wait_free_passes_own_group_holder(lockfile):
+    # a holder in our own process group is us: no self-deadlock
     tpulock.acquire("bench")
     try:
-        assert not tpulock.wait_free(max_wait_s=0.2, poll_s=0.05,
-                                     log=lambda m: None)
+        assert tpulock.wait_free(max_wait_s=0.2, poll_s=0.05,
+                                 log=lambda m: None)
     finally:
         tpulock.release()
 
