@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     # correctness gate before timing anything
     golden = sddmm_reference(a, b, csr)
     flat = runner.run_padded(*ops, order="packed")
-    for strat in ("window", "gather"):
+    for strat in ("window", "mxu", "gather"):
         res = check_values(golden, np.asarray(
             runner.to_csr_order(flat, strategy=strat)))
         print(f"contract[{strat}] "
@@ -88,8 +88,8 @@ def main(argv=None) -> int:
         if not res.passed:
             return 1
 
-    strategies = {"packed": None, "csr:window": "window",
-                  "csr:sort": "sort", "csr:gather": "gather"}
+    strategies = {"packed": None, "csr:mxu": "mxu",
+                  "csr:window": "window", "csr:gather": "gather"}
     times = {tag: [] for tag in strategies}
     for r in range(args.rounds):
         for tag, strat in strategies.items():

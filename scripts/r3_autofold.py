@@ -185,8 +185,21 @@ def main(argv=None) -> int:
     data = json.loads(utc.CONFIGS.read_text())
     staged = []  # (key, matrix, old, new, kind)
 
+    # Dense arbitration FIRST: its verdict must gate the hybrid folds.
+    # (Round-4 bug: the hybrid probes can't represent a committed
+    # {"dense": true} entry, so folding their winner silently displaced
+    # the already-validated dense strategy at k128/k256 — and the dense
+    # stage, comparing old != new against the pre-fold file, staged
+    # nothing to restore it.)
+    print("== dense-vs-hybrid arbitration (dlmc) ==")
+    dense_owner = {k: dense_decision(k, data) for k in (32, 64, 128, 256)}
+
     print("== folding probe winners ==")
     for log_name, matrix, k, mode in FOLDS:
+        if matrix == "dlmc" and dense_owner.get(k):
+            print(f"  k{k}/dlmc: dense strategy owns this cell, "
+                  "skipping hybrid fold")
+            continue
         tag = try_winner(R / log_name)
         if tag is None:
             continue
@@ -208,11 +221,10 @@ def main(argv=None) -> int:
         print(f"  {key}/{matrix}: {old} -> {new}")
         staged.append((key, matrix, old, new, "hybrid"))
 
-    print("== dense-vs-hybrid arbitration (dlmc) ==")
     for k in (32, 64, 128, 256):
         key = f"k{k}"
         old = data.get(key, {}).get("dlmc")
-        if dense_decision(k, data):
+        if dense_owner.get(k):
             new = {"dense": True}
             if old != new:
                 staged.append((key, "dlmc", old, new, "dense"))

@@ -147,14 +147,73 @@ def _bucket_select(f128, win_idx, off_full, s_pad: int):
                    axis=-1)                          # (nb_b, 128)
 
 
-def window_select(flat: jax.Array, plan_dev, nnz: int) -> jax.Array:
-    """Apply a device-resident WindowPlan (``plan.device_arrays()``)."""
+@functools.partial(jax.jit, static_argnames=("s_pad",))
+def _bucket_select_mxu(f128, win_idx, off_full, s_pad: int):
+    """MXU variant of the bucket select (round 4).
+
+    The VPU one-hot above compares every output entry against the full
+    ``s_pad * 128`` window — ``nb * 128 * s_pad * 128`` vector ops,
+    measured ~1.9 ms of the 2.1 ms clustered16 conversion.  Factor the
+    window offset ``off = hi * 16 + lo``: ONE bf16 batched matmul
+    contracts an ``(s_pad * 8)``-wide hi one-hot against the window
+    viewed as ``(nb, s_pad * 8, 16)``, then a 16-way fp32 lo select
+    runs on the VPU (nb * 128 * 16 ops — negligible).
+
+    Exactness: the one-hot is exactly representable in bf16 and each
+    output entry receives exactly ONE nonzero product, accumulated in
+    fp32 on the MXU.  The window values ride as a bf16 hi/lo split
+    concatenated along the lo axis and recombined AFTER the dot, behind
+    an optimization_barrier (without it XLA splits the concat into two
+    dots and merges those into dot(oh, hi + lo) with a collapsing bf16
+    add — the docs/performance.md hi/lo trap).  Residual error is the
+    fp32->bf16x2 split (rel ~2^-17), two orders of magnitude inside
+    the reference's rel 1e-3 contract (the hybrid kernel's own
+    tf32-class dots already sit at rel ~1.1e-5).
+    """
+    nb_b = win_idx.shape[0]
+    s8 = s_pad * 8
+    win = jnp.take(f128, win_idx, axis=0)            # (nb_b, S, 128)
+    win_r = win.reshape(nb_b, s8, 16)
+    w_hi = win_r.astype(jnp.bfloat16)
+    w_lo = (win_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wcat = jnp.concatenate([w_hi, w_lo], axis=-1)    # (nb_b, s8, 32)
+    hi = off_full >> 4
+    lo = off_full & 15
+    oh = (hi[:, :, None] == jnp.arange(s8, dtype=jnp.int32)
+          ).astype(jnp.bfloat16)                     # (nb_b, 128, s8)
+    t2 = jax.lax.dot_general(
+        oh, wcat, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (nb_b, 128, 32)
+    # barrier the halves: XLA otherwise splits the concat back into
+    # dot(oh, hi) + dot(oh, lo) and merges THAT into dot(oh, hi + lo)
+    # with a collapsing bf16 add (measured: max_rel 3.9e-3 = plain
+    # bf16 — the docs/performance.md hi/lo trap, one rewrite removed)
+    t_hi, t_lo = jax.lax.optimization_barrier(
+        (t2[..., :16], t2[..., 16:]))
+    t = t_hi + t_lo                                  # exact recombine
+    lo_oh = (lo[:, :, None] == jnp.arange(16, dtype=jnp.int32)
+             ).astype(jnp.float32)
+    return jnp.sum(t * lo_oh, axis=-1)               # (nb_b, 128)
+
+
+_SELECTS = {"window": _bucket_select, "mxu": _bucket_select_mxu}
+
+
+def window_select(flat: jax.Array, plan_dev, nnz: int,
+                  select: str = "window") -> jax.Array:
+    """Apply a device-resident WindowPlan (``plan.device_arrays()``).
+
+    ``select``: "window" = exact VPU one-hot; "mxu" = factored bf16
+    MXU one-hot (see _bucket_select_mxu) — ~5x cheaper on block
+    regimes, error bounded by the bf16x2 split.
+    """
+    bucket_select = _SELECTS[select]
     bucket_arrays, inv_block_order = plan_dev
     pad = (-flat.shape[0]) % _BLOCK
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
     f128 = flat.reshape(-1, _BLOCK)
-    parts = [_bucket_select(f128, win_idx, off_full, s_pad)
+    parts = [bucket_select(f128, win_idx, off_full, s_pad)
              for (s_pad, win_idx, off_full) in bucket_arrays]
     cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     if inv_block_order is not None:                # static row gather

@@ -117,6 +117,10 @@ class DenseSDDMM:
         self._csr = csr
         self._flat_idx = None
         self._rows_cols = None
+        self._window_plan_dev = None
+        #: CSR-order strategy: None = auto (window plan + MXU select on
+        #: TPU, per-entry take on CPU); "take" | "window" | "mxu"
+        self.csr_strategy = None
 
     @staticmethod
     def from_csr(csr: CSR, compute_dtype: str = "tf32") -> "DenseSDDMM":
@@ -151,7 +155,40 @@ class DenseSDDMM:
                 jnp.asarray(self._csr.col_idx, dtype=jnp.int32))
         return None, self._rows_cols
 
-    def to_csr_order(self, full: jax.Array) -> jax.Array:
+    def _pick_csr_strategy(self) -> str:
+        if self.csr_strategy:
+            return self.csr_strategy
+        return ("take" if jax.devices()[0].platform == "cpu" else "mxu")
+
+    def _window_plan(self):
+        """WindowPlan over the (M, N)-flat product (ops/csr_order).
+
+        The per-entry flat take is descriptor-rate-bound at the ~40 ns
+        latency class of a >16 MB source (measured 144 ms on the bench
+        dlmc matrix vs a 0.063 ms kernel); the window plan's 512 B atom
+        gather + factored one-hot select is the same machinery the
+        hybrid path uses — the dense strategy's ``inv_idx`` is simply
+        ``row * N + col``.
+        """
+        if self._window_plan_dev is None:
+            if self._csr is None:
+                raise ValueError("order='csr' needs the CSR pattern; "
+                                 "build with DenseSDDMM.from_csr")
+            from sddmm_tpu.ops.csr_order import build_window_plan
+            inv = (self._csr.row_indices().astype(np.int64) * self.n
+                   + self._csr.col_idx.astype(np.int64))
+            plan = build_window_plan(inv, self.m * self.n)
+            self._window_plan_dev = (plan, plan.device_arrays())
+        return self._window_plan_dev
+
+    def to_csr_order(self, full: jax.Array,
+                     strategy: str | None = None) -> jax.Array:
+        strategy = strategy or self._pick_csr_strategy()
+        if strategy in ("window", "mxu"):
+            from sddmm_tpu.ops.csr_order import window_select
+            _, plan_dev = self._window_plan()
+            return window_select(full.reshape(-1), plan_dev,
+                                 self._csr.nnz, select=strategy)
         flat_idx, rows_cols = self._csr_gather_ops()
         if flat_idx is not None:
             return jnp.take(full.reshape(-1), flat_idx)
@@ -178,23 +215,48 @@ class DenseSDDMM:
         ``optimization_barrier`` + tiny slice stands in for the consumer
         so the full (M, N) HBM write — the strategy's dominant byte term
         — cannot be fused away into the reduction."""
-        # nnz-sized gather indices enter as a jit ARGUMENT, not a
-        # closure constant — closed-over arrays are inlined into the
-        # HLO as literals and blow the axon remote-compile request
+        # nnz-sized gather indices / plan arrays enter as jit ARGUMENTS,
+        # not closure constants — closed-over arrays are inlined into
+        # the HLO as literals and blow the axon remote-compile request
         # limit at suite scale (HTTP 413; see hybrid.make_looped_fn).
-        gather = self._csr_gather_ops() if order == "csr" else None
+        strategy = self._pick_csr_strategy() if order == "csr" else None
+        gather = plan_s_pads = plan_args = None
+        if order == "csr":
+            if strategy in ("window", "mxu"):
+                _, (buckets_dev, inv_bo) = self._window_plan()
+                plan_s_pads = [s for (s, _, _) in buckets_dev]
+                plan_args = ([(w, o) for (_, w, o) in buckets_dev],
+                             inv_bo)
+            else:
+                gather = self._csr_gather_ops()
 
-        def looped(a_dev, bt_dev, gather_ix):
+        def looped(a_dev, bt_dev, gather_ix, plan_ix):
             def body(_, carry):
                 live = carry > jnp.float32(-1e30)
                 a_i = jnp.where(live, a_dev, jnp.zeros_like(a_dev))
                 out = _dense_full_jit(a_i, bt_dev,
                                       compute_dtype=self.compute_dtype)
                 if order == "csr":
-                    flat_idx, rows_cols = gather_ix
-                    out = (jnp.take(out.reshape(-1), flat_idx)
-                           if flat_idx is not None
-                           else out[rows_cols[0], rows_cols[1]])
+                    if strategy in ("window", "mxu"):
+                        from sddmm_tpu.ops.csr_order import window_select
+                        arrays, inv = plan_ix
+
+                        def mask(ix_):
+                            return jnp.where(live, ix_,
+                                             jnp.zeros_like(ix_))
+
+                        buckets = [(s, mask(w), mask(o))
+                                   for s, (w, o) in zip(plan_s_pads,
+                                                        arrays)]
+                        out = window_select(
+                            out.reshape(-1),
+                            (buckets, None if inv is None else mask(inv)),
+                            self._csr.nnz, select=strategy)
+                    else:
+                        flat_idx, rows_cols = gather_ix
+                        out = (jnp.take(out.reshape(-1), flat_idx)
+                               if flat_idx is not None
+                               else out[rows_cols[0], rows_cols[1]])
                 # the barrier blocks dot->reduce fusion, so the (M, N)
                 # product must be materialized before the slice reads it
                 out = jax.lax.optimization_barrier(out)
@@ -203,7 +265,8 @@ class DenseSDDMM:
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
         jitted = jax.jit(looped)
-        return lambda a_dev, bt_dev: jitted(a_dev, bt_dev, gather)
+        return lambda a_dev, bt_dev: jitted(a_dev, bt_dev, gather,
+                                            plan_args)
 
     def measure_kernel_ms(self, a_dev, bt_dev, iterations: int = 50,
                           repeats: int = 3, order: str = "packed") -> float:

@@ -577,13 +577,15 @@ class HybridSDDMM:
 
     def _pick_csr_strategy(self, flat_size: int) -> str:
         """Default CSR-order strategy: the window plan (ops/csr_order)
-        on TPU — measured 10-40x fewer gather descriptors than the
-        per-entry take and strictly better than the key-value sort —
-        plain gather on CPU (scalar gathers are cheap there).
-        Override per-call or via ``self.csr_strategy``."""
+        with the MXU bucket select on TPU — measured 10-40x fewer
+        gather descriptors than the per-entry take, and the factored
+        bf16 one-hot select is ~5x the VPU window select ("window",
+        kept as the bit-exact fallback) — plain gather on CPU (scalar
+        gathers are cheap there).  Override per-call or via
+        ``self.csr_strategy``."""
         if jax.devices()[0].platform == "cpu":
             return "gather"
-        return "window"
+        return "mxu"
 
     def _window_plan(self):
         if self._window_plan_dev is None:
@@ -602,10 +604,11 @@ class HybridSDDMM:
                              "metadata")
         strategy = (strategy or getattr(self, "csr_strategy", None)
                     or self._pick_csr_strategy(flat.shape[0]))
-        if strategy == "window":
+        if strategy in ("window", "mxu"):
             from sddmm_tpu.ops.csr_order import window_select
             _, plan_dev = self._window_plan()
-            return window_select(flat, plan_dev, self.packed.nnz)
+            return window_select(flat, plan_dev, self.packed.nnz,
+                                 select=strategy)
         return _to_csr_order_jit(flat, self._csr_dest, self._inv_idx,
                                  nnz=self.packed.nnz, strategy=strategy)
 
@@ -644,7 +647,7 @@ class HybridSDDMM:
             csr_strategy = (getattr(self, "csr_strategy", None)
                             or self._pick_csr_strategy(
                                 self._csr_dest.shape[0]))
-            if csr_strategy == "window":
+            if csr_strategy in ("window", "mxu"):
                 _, (buckets_dev, inv_bo) = self._window_plan()
                 # s_pad values must stay STATIC (jit would trace ints in
                 # the arg pytree); only the arrays ride in idx
@@ -698,7 +701,7 @@ class HybridSDDMM:
                     group_buckets=self.packed.group_buckets,
                     h=self.packed.hub_cols)
                 if order == "csr":
-                    if csr_strategy == "window":
+                    if csr_strategy in ("window", "mxu"):
                         from sddmm_tpu.ops.csr_order import window_select
                         # same always-true perturbation as the index
                         # arrays: the plan must stay loop-body-resident
@@ -707,7 +710,7 @@ class HybridSDDMM:
                                        plan_s_pads, ix["plan_arrays"])]
                         flat = window_select(
                             flat, (buckets, mask_opt(ix["plan_inv"])),
-                            self.packed.nnz)
+                            self.packed.nnz, select=csr_strategy)
                     else:
                         flat = _to_csr_order_jit(flat, ix["csr_dest"],
                                                  ix["inv_idx"],

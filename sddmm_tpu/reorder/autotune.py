@@ -44,6 +44,73 @@ _SRC_F = np.array([4.0, 4.0, 1.1, 1.0, 0.9, 0.45, 0.40, 0.40])
 # A repeated descriptor (row already fetched this call) costs this
 # fraction of a cold one — hot rows stay in the on-chip window.
 _REPEAT_COST = 0.35
+
+# Roofline rate surface (descriptor_floor_ms): best-measured-pattern
+# take rates, (row_bytes -> {src_mb -> M rows/s}), from
+# scripts/probe_gather_grid.py (patterns: uniform / tiled 16-row blocks
+# / hot 1-in-8 subset; the floor takes the max — packed-tile gathers
+# are clustered and repeat-heavy, so the achievable rate is the best
+# pattern, not the uniform one the COST model prices with).  Loaded
+# from results/gather_grid.json when present; empty = fall back to the
+# uniform-rate tables above.
+_FLOOR_RATE: dict = {}
+
+
+def load_gather_grid(path_or_dict) -> None:
+    """Install the measured gather-grid as the roofline rate surface."""
+    import json
+    from pathlib import Path
+
+    grid = (path_or_dict if isinstance(path_or_dict, dict)
+            else json.loads(Path(path_or_dict).read_text()))
+    merged: dict = {}
+    for pattern in ("uniform", "tiled", "hot"):
+        for rb, per_w in grid.get(pattern, {}).items():
+            dst = merged.setdefault(int(rb), {})
+            for mb, rate in per_w.items():
+                dst[float(mb)] = max(dst.get(float(mb), 0.0),
+                                     float(rate))
+    if merged:
+        _FLOOR_RATE.clear()
+        _FLOOR_RATE.update(merged)
+
+
+def _maybe_autoload_grid():
+    from pathlib import Path
+    path = Path(__file__).resolve().parents[2] / "results" \
+        / "gather_grid.json"
+    if path.exists():
+        try:
+            load_gather_grid(path)
+        except Exception as e:   # a corrupt grid must not break imports
+            import warnings
+            warnings.warn(f"{path} not loaded: {e}; descriptor floor "
+                          "falls back to uniform-pattern rates")
+
+
+def _floor_row_rate(row_bytes: float, src_mb: float) -> float:
+    """Best-achievable take rate (descriptors/s) for the roofline floor:
+    log-interpolated over the measured (width, footprint) grid's
+    best-pattern surface; uniform-rate fallback when no grid is
+    loaded."""
+    if not _FLOOR_RATE:
+        return _row_rate(row_bytes, src_mb)
+    widths = sorted(_FLOOR_RATE)
+    rb = float(np.clip(row_bytes, widths[0], widths[-1]))
+    lo = max(w for w in widths if w <= rb)
+    hi = min(w for w in widths if w >= rb)
+
+    def at(w):
+        pts = sorted(_FLOOR_RATE[w].items())
+        mbs = np.array([m for m, _ in pts])
+        rates = np.array([r for _, r in pts])
+        return float(np.interp(src_mb, mbs, rates))
+
+    if lo == hi:
+        return at(lo) * 1e6
+    t = (np.log(rb) - np.log(lo)) / (np.log(hi) - np.log(lo))
+    return float(np.exp((1 - t) * np.log(at(lo))
+                        + t * np.log(at(hi)))) * 1e6
 # batched tile-dot rates (M 16-row groups/s) by (precision, tile height)
 _DOT_G16_MS = {
     ("float32", 16): 11.0e6, ("float32", 32): 33.0e6,
@@ -120,6 +187,7 @@ def _maybe_autoload():
 
 
 _maybe_autoload()
+_maybe_autoload_grid()
 
 
 def _row_rate(row_bytes: float, src_mb: float) -> float:
@@ -272,8 +340,18 @@ def descriptor_floor_ms(packed: PackedMatrix, k: int,
     Round-3 shipped this floor priced at best-width x best-footprint
     (max-of-maxima), so optimistic it never bound anywhere — even on
     powerlaw, where the breakdown probe shows the B gather is ~70% of
-    the call (VERDICT r3 weak #3).  Now it prices each descriptor
-    stream at its own measured rate."""
+    the call (VERDICT r3 weak #3).  The first round-4 recalibration
+    swung the other way: it priced each stream at the UNIFORM-pattern
+    rate, so pessimistic at wide descriptors (1-16 KB panels) that the
+    "floor" exceeded measured time at K=256 (roofline_fraction 3.9-4.9,
+    bench_r3_final_k256.log — an impossible floor is no floor).  Now
+    each stream is priced at the best MEASURED pattern rate for its
+    (width, footprint) cell (scripts/probe_gather_grid.py: uniform /
+    tiled / hot; packed gathers are clustered and repeat-heavy, so the
+    achievable rate is the best pattern).  The hot-pattern rate already
+    embodies the repeat benefit, so no separate _REPEAT_COST discount
+    is applied here (that discount belongs to the COST model's
+    uniform-rate pricing)."""
     a_el, b_el = _ELEM_BYTES[compute_dtype]
     G, C = packed.group_size, int(k_chunks)
     kc = k // C
@@ -285,9 +363,7 @@ def descriptor_floor_ms(packed: PackedMatrix, k: int,
     b_bytes = G * kc * b_el
     b_src_mb = (packed.num_col_groups + 1) * b_bytes / 1e6
     b_rows = n_tiles * LG + packed.nnz_res
-    b_uniq = min(b_rows, packed.num_col_groups + 1)
-    eff_b = b_uniq + _REPEAT_COST * max(b_rows - b_uniq, 0)
-    t_b = C * eff_b / _row_rate(b_bytes, b_src_mb)
+    t_b = C * b_rows / _floor_row_rate(b_bytes, b_src_mb)
     # A stream: per-row (or per-panel) full-K descriptors + residual.
     a_src_mb = (packed.m + 1) * k * a_el / 1e6
     if a_layout == "panels":
@@ -297,19 +373,15 @@ def descriptor_floor_ms(packed: PackedMatrix, k: int,
                   + sum(n * 4 for _, _, n in packed.quad_buckets)
                   + sum(n * 2 for _, _, n in packed.pair_buckets)
                   + sum(n * 1 for _, _, n in packed.group_buckets))
-        a_uniq = min(a_rows, packed.num_panels)
-        eff_a = a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0)
-        t_a = eff_a / _row_rate(16 * k * a_el, a_src_mb)
+        t_a = a_rows / _floor_row_rate(16 * k * a_el, a_src_mb)
     else:
         a_rows = (sum(n * 128 for _, _, n in packed.super_buckets)
                   + sum(n * 64 for _, _, n in packed.quad_buckets)
                   + sum(n * 32 for _, _, n in packed.pair_buckets)
                   + sum(n * 16 for _, _, n in packed.group_buckets))
-        a_uniq = min(a_rows, packed.num_panels * 16)
-        eff_a = a_uniq + _REPEAT_COST * max(a_rows - a_uniq, 0)
-        t_a = eff_a / _row_rate(k * a_el, a_src_mb)
+        t_a = a_rows / _floor_row_rate(k * a_el, a_src_mb)
     # residual A-row descriptors (full-K rows from the padded A source)
-    t_ra = packed.nnz_res / _row_rate(k * a_el, a_src_mb)
+    t_ra = packed.nnz_res / _floor_row_rate(k * a_el, a_src_mb)
     return (t_b + t_a + t_ra) * 1e3
 
 
