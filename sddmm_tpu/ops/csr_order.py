@@ -174,7 +174,10 @@ def _bucket_select_mxu(f128, win_idx, off_full, s_pad: int):
     s8 = s_pad * 8
     win = jnp.take(f128, win_idx, axis=0)            # (nb_b, S, 128)
     win_r = win.reshape(nb_b, s8, 16)
-    w_hi = win_r.astype(jnp.bfloat16)
+    # the barrier on w_hi is load-bearing: TPU XLA's excess-precision
+    # rewrite otherwise elides the f32->bf16->f32 pair and w_lo becomes
+    # exactly zero (measured: plain-bf16 3.9e-3 error signature)
+    w_hi = jax.lax.optimization_barrier(win_r.astype(jnp.bfloat16))
     w_lo = (win_r - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     wcat = jnp.concatenate([w_hi, w_lo], axis=-1)    # (nb_b, s8, 32)
     hi = off_full >> 4

@@ -94,9 +94,16 @@ def _storage_dtype(compute_dtype: str):
 def _split_bf16(x):
     """Split fp32/fp16 values into (hi, lo) bfloat16 so hi + lo carries
     >= 16 mantissa bits — exact for fp16 inputs up to the dropped lo*lo
-    term (<= 2^-18 relative)."""
+    term (<= 2^-18 relative).
+
+    The barrier on ``hi`` is load-bearing: TPU XLA's excess-precision
+    rewrite elides the f32->bf16->f32 convert pair, turning ``lo`` into
+    exactly ``x - x = 0`` and silently collapsing the split to plain
+    bf16 (measured round 4: max|lo| == 0.0 without the barrier,
+    recombine rel 3.8e-3; with it, 7.6e-6 — results/ split_dbg probe).
+    """
     xf = x.astype(jnp.float32)
-    hi = xf.astype(jnp.bfloat16)
+    hi = jax.lax.optimization_barrier(xf.astype(jnp.bfloat16))
     lo = (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 

@@ -272,6 +272,16 @@ HOST_CLUSTER_BUDGET_S = 5.0
 #: _greedy_cluster the routing sample is timed with (probe:
 #: results/probe_device_cluster_mid_r4.log).
 NATIVE_GREEDY_SPEEDUP = 15.0
+#: device batched-clustering cost per (padded row x block) cell,
+#: conservative fit of the two probe points (TPU v5e through the axon
+#: tunnel): 102400x2048 -> 211 s (1.0e-6), 65536x4096 -> 86 s
+#: (3.2e-7).  results/probe_device_cluster_{mid_,}r{3,4}.log.  Both
+#: measured the device path SLOWER than native host greedy (0.2-0.4x)
+#: — the reference's clusters-on-GPU-always rule
+#: (src/rowReordering.cu:1027) does not transfer to this tunnel+host
+#: combination, so the device route must EARN the pick via this model,
+#: not inherit it from a row-count threshold.
+DEVICE_CLUSTER_S_PER_CELL = 1.0e-6
 
 
 def _route_by_cost(t_sample_s: float, n_order: int, m: int,
@@ -281,7 +291,10 @@ def _route_by_cost(t_sample_s: float, n_order: int, m: int,
     Greedy cost ~ rows x clusters x support; with cluster count roughly
     proportional to rows on clusterable matrices, full-matrix host time
     extrapolates as t_sample * (rows/2048)^2, discounted by the native
-    C++ loop's measured speedup when it will actually run."""
+    C++ loop's measured speedup when it will actually run.  The device
+    path is priced by DEVICE_CLUSTER_S_PER_CELL and must beat the host
+    estimate — measured at m<=102k it does NOT beat native greedy, only
+    the numpy fallbacks."""
     import os
 
     from sddmm_tpu import native
@@ -293,8 +306,14 @@ def _route_by_cost(t_sample_s: float, n_order: int, m: int,
                                        if native.available() else 1.0)
     if est_host_s <= budget:
         return "greedy"
-    return ("device" if _device_cluster_viable(m, num_blocks)
-            else "batched")
+    m_pad = -(-m // 2048) * 2048
+    est_device_s = DEVICE_CLUSTER_S_PER_CELL * m_pad * max(num_blocks, 1)
+    if (_device_cluster_viable(m, num_blocks)
+            and est_device_s < est_host_s):
+        return "device"
+    # the numpy batched path measured ~3x native greedy at m=65k —
+    # over budget but finite, and strictly better than numpy greedy
+    return "greedy" if native.available() else "batched"
 
 
 def row_reordering(csr: CSR, alpha: float = config.DEFAULT_ALPHA,

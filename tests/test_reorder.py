@@ -278,13 +278,21 @@ def test_route_by_cost(monkeypatch):
     # fast sample on a big matrix: extrapolated host time under budget
     assert rows_mod._route_by_cost(1e-5, 500_000, 500_000, 4096) == \
         "greedy"
-    # slow sample: over budget -> device when viable, else batched
+    # slow sample, device model cheaper than host estimate -> device
+    # (512 blocks: est_device ~103 s < est_host ~318 s native)
     monkeypatch.setattr(rows_mod, "_device_cluster_viable",
                         lambda m, b: True)
-    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
+    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 512) == \
         "device"
+    # device model MORE expensive than host (4096 blocks: ~822 s) ->
+    # stay on native greedy even over budget (probes measured the
+    # device path 0.2-0.4x native greedy at m<=102k)
+    assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
+        "greedy"
+    # no native, no device -> the numpy multi-leader fallback
     monkeypatch.setattr(rows_mod, "_device_cluster_viable",
                         lambda m, b: False)
+    monkeypatch.setattr("sddmm_tpu.native.available", lambda: False)
     assert rows_mod._route_by_cost(0.5, 200_000, 200_000, 4096) == \
         "batched"
     # env override widens the budget back to host greedy
