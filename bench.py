@@ -82,7 +82,9 @@ def load_tuned_config(name: str, k: int):
 # carry only {"dense": true}.
 _CFG_KEYS = {"alpha": float, "delta": float, "g": int, "c": int,
              "merge": bool, "hub": int, "pallas": bool,
-             "a_layout": str, "window_dp": bool, "dense": bool}
+             "a_layout": str, "window_dp": bool, "dense": bool,
+             "dtype": str}
+_CFG_DTYPES = ("float32", "tf32", "mixed", "float16", "bfloat16")
 
 
 def validate_tuned_configs() -> list:
@@ -134,6 +136,9 @@ def validate_tuned_configs() -> list:
                     errors.append(f"{where}.a_layout: "
                                   f"{cfg['a_layout']!r} not in "
                                   "('rows', 'panels')")
+                if cfg.get("dtype", "tf32") not in _CFG_DTYPES:
+                    errors.append(f"{where}.dtype: {cfg['dtype']!r} "
+                                  f"not in {_CFG_DTYPES}")
     return errors
 
 
@@ -252,6 +257,12 @@ def main():
         cfg = (None if (args.retune or args.quick)
                else load_tuned_config(name, args.k))
         dense_sel = bool(cfg.get("dense")) if cfg is not None else False
+        # a committed config may pin its own storage/compute dtype (the
+        # round-4 split fix made float16 genuinely ~16-mantissa-bit —
+        # at K=256 it moves the B descriptor from the 1 KB slow class
+        # into the 512 B sweet spot); validated at fold time like every
+        # other committed key
+        cdt = (cfg or {}).get("dtype", args.compute_dtype)
         tuned = None
         if cfg is not None and not dense_sel:
             tuned = from_params(
@@ -259,7 +270,7 @@ def main():
                 group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
                 merge_superpanels=cfg.get("merge", True),
                 hub_cols=cfg.get("hub", 0),
-                compute_dtype=args.compute_dtype,
+                compute_dtype=cdt,
                 window_dp=cfg.get("window_dp", True))
             tuned.use_pallas = bool(cfg.get("pallas", False))
             tuned.a_layout = cfg.get("a_layout", "rows")
@@ -300,13 +311,13 @@ def main():
             from sddmm_tpu.ops.dense import DenseSDDMM
             from sddmm_tpu.reorder.autotune import _ELEM_BYTES
             runner = DenseSDDMM.from_csr(csr,
-                                         compute_dtype=args.compute_dtype)
+                                         compute_dtype=cdt)
             tuning_s[name] = round(time.perf_counter() - t0, 1)
             a = generate.make_dense(csr.m, args.k, seed=1)
             b = generate.make_dense(args.k, csr.n, seed=2)
             a_pad, bt_pad = runner.prepare_operands(a, b=b)
             from sddmm_tpu.reorder.autotune import STREAM_GBPS
-            a_el, b_el = _ELEM_BYTES[args.compute_dtype]
+            a_el, b_el = _ELEM_BYTES[cdt]
             sol_ms = ((csr.m * a_el + csr.n * b_el) * args.k
                       + csr.m * csr.n * 4) / (STREAM_GBPS * 1e6)
             packed = None
@@ -314,7 +325,7 @@ def main():
             tuning_s[name] = round(time.perf_counter() - t0, 1)
             packed = tuned.packed
             runner = HybridSDDMM(packed,
-                                 compute_dtype=args.compute_dtype,
+                                 compute_dtype=cdt,
                                  k_chunks=tuned.k_chunks,
                                  use_pallas=getattr(tuned, "use_pallas",
                                                     False),
@@ -323,7 +334,7 @@ def main():
             a = generate.make_dense(csr.m, args.k, seed=1)
             b = generate.make_dense(args.k, csr.n, seed=2)
             a_pad, bt_pad = runner.prepare_operands(a, b=b)
-            sol_ms = sol_ms_of(packed, args.k, args.compute_dtype)
+            sol_ms = sol_ms_of(packed, args.k, cdt)
 
         # Independent timing sessions; each is a loop-differenced min
         # (dispatch noise is additive within a session), the median
@@ -382,7 +393,7 @@ def main():
             roof_ms = sol_ms
         else:
             roof_ms = max(sol_ms, descriptor_floor_ms(
-                packed, args.k, args.compute_dtype, tuned.k_chunks,
+                packed, args.k, cdt, tuned.k_chunks,
                 getattr(tuned, "a_layout", "rows")))
         roofs[name] = round(roof_ms / ms, 3)
 

@@ -49,6 +49,8 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
