@@ -88,12 +88,17 @@ git add results/ && git commit -q \
   || true
 
 # --- 5. final headline benches at all four Ks ---
+# k128/k256 first: the dense dlmc restore (autofold) and the k256
+# floor recalibration (46a2288) both landed AFTER the bench_r3_final
+# pass, so those two are the stale ones.
 run bench_r4_k128.log python -u bench.py --verbose
+git add results/ && git commit -q -m "Round-4 headline bench (k128)" || true
+run bench_r4_k256.log python -u bench.py --verbose --k 256
+git add results/ && git commit -q -m "Round-4 headline bench (k256)" || true
 run bench_r4_k32.log  python -u bench.py --verbose --k 32
 run bench_r4_k64.log  python -u bench.py --verbose --k 64
-run bench_r4_k256.log python -u bench.py --verbose --k 256
 git add results/ && git commit -q \
-  -m "Round-4 headline benches at all four Ks" || true
+  -m "Round-4 headline benches (k32/k64)" || true
 
 # --- 6. detached breadth-suite rerun (hours; preemptible lock) ---
 setsid bash scripts/r3_suite_rerun.sh >/dev/null 2>&1 &
