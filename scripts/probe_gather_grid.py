@@ -25,6 +25,11 @@ Patterns:
                the A-panel / packed-tile locality class.
 - ``hot``:     uniform over a 1/8 subset of rows (repeat-heavy) — the
                B-column reuse class (_REPEAT_COST's regime).
+- ``hot64``:   uniform over a 1/64 subset — the power-law residual
+               class (post-hub row/col repeat factors run ~30-100x;
+               the 1/8 grid under-measured the achievable rate there,
+               which showed up as roofline_fraction 2.9 > 1 on
+               powerlaw in bench_r4_k128.log — an impossible floor).
 
 Writes results/gather_grid.json:
   {"<pattern>": {"<row_bytes>": {"<src_mb>": M rows/s}}}
@@ -79,6 +84,9 @@ def main(argv=None) -> int:
         if pattern == "hot":
             hot = max(rows // 8, 1)
             return rng.integers(0, hot, n_idx)
+        if pattern == "hot64":
+            hot = max(rows // 64, 1)
+            return rng.integers(0, hot, n_idx)
         if pattern == "tiled":
             # blocks of 16 consecutive rows at sorted random starts
             nblk = max(n_idx // 16, 1)
@@ -87,7 +95,7 @@ def main(argv=None) -> int:
             return idx[:n_idx]
         raise ValueError(pattern)
 
-    for pattern in ("uniform", "tiled", "hot"):
+    for pattern in ("uniform", "tiled", "hot", "hot64"):
         grid = {}
         for rb in widths:
             cols = rb // 4

@@ -64,7 +64,10 @@ def load_gather_grid(path_or_dict) -> None:
     grid = (path_or_dict if isinstance(path_or_dict, dict)
             else json.loads(Path(path_or_dict).read_text()))
     merged: dict = {}
-    for pattern in ("uniform", "tiled", "hot"):
+    # pattern-generic: any dict-valued key is a measured pattern grid
+    # (metadata keys like "device"/"platform" are strings)
+    patterns = [k for k, v in grid.items() if isinstance(v, dict)]
+    for pattern in patterns:
         for rb, per_w in grid.get(pattern, {}).items():
             dst = merged.setdefault(int(rb), {})
             for mb, rate in per_w.items():
