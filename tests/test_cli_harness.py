@@ -298,6 +298,22 @@ def test_descriptor_floor():
     assert descriptor_floor_ms(cfg.packed, 128, k_chunks=2) >= rows_f
 
 
+def test_gather_grid_loader_pattern_generic():
+    """load_gather_grid merges ANY dict-valued pattern (e.g. the round-4
+    hot64 cell) at max rate and ignores string metadata keys."""
+    from sddmm_tpu.reorder import autotune as at
+
+    saved = dict(at._FLOOR_RATE)
+    try:
+        at.load_gather_grid({"device": "d", "platform": "p",
+                             "uniform": {"512": {"2": 100.0}},
+                             "hot64": {"512": {"2": 900.0}}})
+        assert at._floor_row_rate(512, 2) == 900.0 * 1e6
+    finally:
+        at._FLOOR_RATE.clear()
+        at._FLOOR_RATE.update(saved)
+
+
 def test_estimate_dense_ms_scales():
     from sddmm_tpu.reorder.autotune import estimate_dense_ms
     small = estimate_dense_ms(256, 256, 64)
