@@ -83,7 +83,8 @@ def load_tuned_config(name: str, k: int):
 _CFG_KEYS = {"alpha": float, "delta": float, "g": int, "c": int,
              "merge": bool, "hub": int, "pallas": bool,
              "a_layout": str, "window_dp": bool, "dense": bool,
-             "dtype": str}
+             "dtype": str, "sort_runs": str, "sort_res": str,
+             "b_cost_scale": float}
 _CFG_DTYPES = ("float32", "tf32", "mixed", "float16", "bfloat16")
 
 
@@ -139,6 +140,14 @@ def validate_tuned_configs() -> list:
                 if cfg.get("dtype", "tf32") not in _CFG_DTYPES:
                     errors.append(f"{where}.dtype: {cfg['dtype']!r} "
                                   f"not in {_CFG_DTYPES}")
+                if cfg.get("sort_runs", "cid") not in ("cid", "gid"):
+                    errors.append(f"{where}.sort_runs: "
+                                  f"{cfg['sort_runs']!r} not in "
+                                  "('cid', 'gid')")
+                if cfg.get("sort_res", "csr") not in ("csr", "gid"):
+                    errors.append(f"{where}.sort_res: "
+                                  f"{cfg['sort_res']!r} not in "
+                                  "('csr', 'gid')")
     return errors
 
 
@@ -197,7 +206,7 @@ def main():
     from sddmm_tpu.ops.hybrid import HybridSDDMM
     from sddmm_tpu.utils.timing import gflops, measure_loop_ms
     from sddmm_tpu.reorder.autotune import (autotune, descriptor_floor_ms,
-                                            from_params)
+                                            from_params, mxu_ms)
 
     def log(msg):
         if args.verbose:
@@ -249,6 +258,8 @@ def main():
     csr_ratio = {}
     sessions_ms = {}
     tuning_s = {}
+    clamped = {}   # per-matrix: median was below the bytes floor
+    gweight = {}   # per-matrix gather-boundedness weight in [0, 1]
     for name, gen in suite(args.quick).items():
         t0 = time.perf_counter()
         csr = gen()
@@ -271,7 +282,10 @@ def main():
                 merge_superpanels=cfg.get("merge", True),
                 hub_cols=cfg.get("hub", 0),
                 compute_dtype=cdt,
-                window_dp=cfg.get("window_dp", True))
+                window_dp=cfg.get("window_dp", True),
+                sort_runs=cfg.get("sort_runs", "cid"),
+                sort_res=cfg.get("sort_res", "csr"),
+                b_cost_scale=cfg.get("b_cost_scale", 1.0))
             tuned.use_pallas = bool(cfg.get("pallas", False))
             tuned.a_layout = cfg.get("a_layout", "rows")
         elif cfg is None:
@@ -359,6 +373,7 @@ def main():
                         f"({ms_s:.4f} ms < 0.7*{sol_ms:.4f} ms)")
             sess.append(ms_s)
         ms = float(np.median(sess))
+        clamped[name] = bool(ms < sol_ms)
         if ms < sol_ms:
             # A median below the matrix's own minimum-bytes floor is
             # physically impossible (observed on the dense dlmc cell:
@@ -391,11 +406,30 @@ def main():
             # 2.4x (probe_dense_dlmc_r3), and a floor above measured
             # time is no floor (the round-3 K=256 lesson).
             roof_ms = sol_ms
+            gweight[name] = 0.0  # MXU/stream-bound, no gathers at all
         else:
-            roof_ms = max(sol_ms, descriptor_floor_ms(
+            dfl_ms = descriptor_floor_ms(
                 packed, args.k, cdt, tuned.k_chunks,
-                getattr(tuned, "a_layout", "rows")))
-        roofs[name] = round(roof_ms / ms, 3)
+                getattr(tuned, "a_layout", "rows"))
+            roof_ms = max(sol_ms, dfl_ms)
+            # gather share of the modeled kernel time: the weight the
+            # canary normalization applies the gather (vs matmul) chip
+            # ratio with for this cell (VERDICT r4 weak #1: clustered128
+            # is dot-heavy, normalizing it by the gather ratio alone
+            # cannot account for matmul-rate drift)
+            t_m = mxu_ms(packed, args.k, cdt)
+            gweight[name] = round(dfl_ms / max(dfl_ms + t_m, 1e-12), 3)
+        if roof_ms > ms:
+            # measured beats the modeled floor: the floor is wrong for
+            # this access pattern — publish "unknown", never a
+            # fraction > 1 (VERDICT r4 next #4)
+            roofs[name] = None
+            warnings.append(
+                f"{name}: modeled floor {roof_ms:.4f} ms exceeds "
+                f"measured {ms:.4f} ms — floor unbound for this "
+                "pattern; roofline_fraction reported as null")
+        else:
+            roofs[name] = round(roof_ms / ms, 3)
 
         # CSR-entry-order delivery (includes the packed->CSR conversion,
         # matching the reference's output convention).  A failure here
@@ -483,6 +517,8 @@ def main():
             np.maximum(list(csr_ratio.values()), 1e-9))))), 2),
         "timing_sessions_ms": sessions_ms,
         "tuning_s": tuning_s,
+        "floor_clamped": clamped,
+        "gather_weight": gweight,
     }
     if len(base4) == 4:
         out["value_4matrix"] = round(gm(base4), 1)
@@ -490,14 +526,33 @@ def main():
         out["canary"] = canary_start
         out["canary_end"] = canary_end
         # normalized headline: per-matrix GFLOPS scaled by the session's
-        # gather-canary ratio (the hybrid is gather-engine-bound; a slow
-        # chip day inflates ms -> deflates GFLOPS by the same factor)
-        rs = [x for x in (canary_start.get("gather_ratio"),
-                          canary_end.get("gather_ratio")) if x]
-        if rs:
-            norm = float(np.exp(np.mean(np.log(rs))))
-            out["value_normalized"] = round(geomean * norm, 1)
-            out["canary_gather_ratio_used"] = round(norm, 3)
+        # canary ratios, each cell weighted by its own modeled
+        # gather-vs-matmul boundedness (gather_weight above) — a slow
+        # chip day inflates ms -> deflates GFLOPS by the same factor,
+        # but WHICH engine drifted matters per regime (VERDICT r4
+        # weak #1: gather-only normalization cannot account for a
+        # matmul-rate swing on the dot-heavy cells)
+        def _sess_ratio(key):
+            rs = [x for x in (canary_start.get(key), canary_end.get(key))
+                  if x]
+            return float(np.exp(np.mean(np.log(rs)))) if rs else None
+        norm_g = _sess_ratio("gather_ratio")
+        norm_m = _sess_ratio("matmul_ratio")
+        if norm_g and norm_m:
+            per_norm = {
+                name: results[name] * (norm_g ** gweight[name])
+                * (norm_m ** (1.0 - gweight[name]))
+                for name in results}
+            out["per_matrix_normalized"] = {k: round(v, 1)
+                                            for k, v in per_norm.items()}
+            out["value_normalized"] = round(gm(list(per_norm.values())), 1)
+            norm4 = [per_norm[n] for n in
+                     ("clustered16", "clustered128", "powerlaw", "banded")
+                     if n in per_norm]
+            if len(norm4) == 4:
+                out["value_4matrix_normalized"] = round(gm(norm4), 1)
+            out["canary_ratios_used"] = {"gather": round(norm_g, 3),
+                                         "matmul": round(norm_m, 3)}
     if warnings:
         out["warnings"] = warnings
         for w in warnings:

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--c", type=int, default=None, help="override k_chunks")
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--delta", type=float, default=None)
+    p.add_argument("--committed", action="store_true",
+                   help="dissect the COMMITTED tuned config for this "
+                        "(matrix, K) — hub/pallas/a_layout/merge/dtype "
+                        "included — instead of a fresh model-only "
+                        "autotune (VERDICT r4 next #1)")
     p.add_argument("--file", default=None, help="matrix file instead of "
                    "a bench-suite name")
     args = p.parse_args(argv)
@@ -42,7 +47,7 @@ def main(argv=None) -> int:
     from sddmm_tpu.data import generate, io
     from sddmm_tpu.ops.hybrid import (GROUP_LANES, HybridSDDMM, _PRECISION,
                                       _storage_dtype)
-    from sddmm_tpu.reorder.autotune import autotune
+    from sddmm_tpu.reorder.autotune import autotune, from_params
     from sddmm_tpu.utils.timing import gflops, measure_loop_ms
 
     if args.file:
@@ -51,11 +56,32 @@ def main(argv=None) -> int:
         csr = bench.suite(False)[args.matrix]()
     # this probe dissects the hybrid kernel's stages — never the dense
     # strategy (which has no stages to attribute)
-    tuned = autotune(
-        csr, k=args.k, compute_dtype=args.compute_dtype, measure=False,
-        alphas=(args.alpha,) if args.alpha is not None else (0.3,),
-        deltas=(args.delta,) if args.delta is not None else (0.0, 0.05, 0.3),
-        allow_dense=False)
+    use_pallas = False
+    a_layout = "rows"
+    if args.committed:
+        cfg = bench.load_tuned_config(args.matrix, args.k)
+        if not cfg or cfg.get("dense"):
+            print(f"no committed hybrid config for {args.matrix} "
+                  f"K={args.k}; nothing to dissect")
+            return 1
+        args.compute_dtype = cfg.get("dtype", args.compute_dtype)
+        tuned = from_params(
+            csr, args.k, alpha=cfg["alpha"], delta=cfg["delta"],
+            group_size=cfg.get("g", 1), k_chunks=cfg.get("c", 1),
+            merge_superpanels=cfg.get("merge", True),
+            hub_cols=cfg.get("hub", 0), compute_dtype=args.compute_dtype,
+            window_dp=cfg.get("window_dp", True),
+            sort_runs=cfg.get("sort_runs", "cid"),
+            b_cost_scale=cfg.get("b_cost_scale", 1.0))
+        use_pallas = bool(cfg.get("pallas", False))
+        a_layout = cfg.get("a_layout", "rows")
+    else:
+        tuned = autotune(
+            csr, k=args.k, compute_dtype=args.compute_dtype, measure=False,
+            alphas=(args.alpha,) if args.alpha is not None else (0.3,),
+            deltas=(args.delta,) if args.delta is not None
+            else (0.0, 0.05, 0.3),
+            allow_dense=False)
     g = args.g if args.g is not None else tuned.group_size
     c = args.c if args.c is not None else tuned.k_chunks
     if g != tuned.group_size:
@@ -76,10 +102,14 @@ def main(argv=None) -> int:
         packed = tuned.packed
 
     runner = HybridSDDMM(packed, compute_dtype=args.compute_dtype,
-                         k_chunks=c)
+                         k_chunks=c, use_pallas=use_pallas,
+                         a_layout=a_layout)
     a = generate.make_dense(csr.m, args.k, seed=1)
     b = generate.make_dense(args.k, csr.n, seed=2)
-    a_pad, bt_phys = runner.prepare_operands(a, b=b)
+    a_ops, bt_phys = runner.prepare_operands(a, b=b)
+    # panels-layout operands are an (a_pad, a_panels) pair; the
+    # per-component bodies want the plain padded-rows view
+    a_pad = a_ops[0] if isinstance(a_ops, tuple) else a_ops
     kc = args.k // bt_phys.shape[0]
     C = bt_phys.shape[0]
     LG = GROUP_LANES // packed.group_size
@@ -88,10 +118,32 @@ def main(argv=None) -> int:
 
     print(f"matrix={args.matrix} m={csr.m} n={csr.n} nnz={csr.nnz} "
           f"k={args.k} cfg=(a={tuned.alpha} d={tuned.delta} G="
-          f"{packed.group_size} C={c} merge={tuned.merge_superpanels})")
+          f"{packed.group_size} C={c} H={packed.hub_cols} "
+          f"pallas={use_pallas} aL={a_layout} "
+          f"dt={args.compute_dtype} merge={tuned.merge_superpanels})")
     print(f"tiles: nS={packed.num_super} nQ={packed.num_quads} "
           f"nP={packed.num_pairs} nG={packed.num_groups} "
-          f"res={packed.nnz_res} packed={packed.packed_size}")
+          f"res={packed.nnz_res} hub={packed.nnz_hub} "
+          f"packed={packed.packed_size}")
+    # descriptor accounting: what the gather engine must issue
+    from sddmm_tpu.reorder.autotune import (_ELEM_BYTES,
+                                            descriptor_floor_ms, mxu_ms)
+    LGd = GROUP_LANES // packed.group_size
+    n_tiles = (packed.num_super + packed.num_quads + packed.num_pairs
+               + packed.num_groups)
+    all_gids = np.concatenate([
+        packed.super_gids.reshape(-1), packed.quad_gids.reshape(-1),
+        packed.pair_gids.reshape(-1), packed.group_gids.reshape(-1)])
+    b_el = _ELEM_BYTES[args.compute_dtype][1]
+    b_bytes = packed.group_size * (args.k // c) * b_el
+    print(f"descriptors: B_tile={n_tiles * LGd} (uniq "
+          f"{len(np.unique(all_gids))}) B_res={packed.nnz_res} "
+          f"width={b_bytes}B src="
+          f"{(packed.num_col_groups + 1) * b_bytes * c / 1e6:.1f}MB; "
+          f"floor(desc)={descriptor_floor_ms(packed, args.k, args.compute_dtype, c, a_layout):.4f}ms "
+          f"mxu_est={mxu_ms(packed, args.k, args.compute_dtype):.4f}ms "
+          f"sol={bench.sol_ms_of(packed, args.k, args.compute_dtype):.4f}"
+          f"ms")
 
     segs = []  # (rows_arr, gids_arr, b, start, n_runs)
     for rows_arr, gids_arr, buckets in (
@@ -248,6 +300,37 @@ def main(argv=None) -> int:
                                          axis=0).astype(jnp.float32))
         return tot
 
+    H = packed.hub_cols
+    G_ = packed.group_size
+
+    def body_hub(cr, a_pad, bt_phys):
+        # the dense hub slab: contiguous B^T slice x A, zero descriptors
+        hg = H // G_
+        m_rows = a_pad.shape[0] - 1
+        a_real = jax.lax.slice_in_dim(a_pad, 0, m_rows,
+                                      axis=0).astype(cdtype)
+        start = jnp.where(cr > jnp.float32(-1e30), 0, 1).astype(jnp.int32)
+        tot = jnp.float32(0)
+        for cc in range(C):
+            bhub = jax.lax.dynamic_slice_in_dim(bt_phys[cc], start, hg,
+                                                axis=0)
+            a_c = jax.lax.slice_in_dim(a_real, cc * kc, (cc + 1) * kc,
+                                       axis=1)
+            if G_ > 1:
+                bh = bhub.reshape(hg, G_, kc).astype(cdtype)
+                acc = jax.lax.dot_general(
+                    a_c, bh, dimension_numbers=(((1,), (2,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+            else:
+                acc = jax.lax.dot_general(
+                    a_c, bhub.astype(cdtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+            tot = tot + jnp.sum(acc)
+        return tot
+
     def report(name, ms):
         print(f"  {name:18s} {ms:8.3f} ms   "
               f"({gflops(csr.nnz, args.k, ms):7.1f} GFLOPS-equiv)",
@@ -255,16 +338,19 @@ def main(argv=None) -> int:
 
     it = args.iterations
     report("full_hybrid",
-           runner.measure_kernel_ms(a_pad, bt_phys, iterations=it,
+           runner.measure_kernel_ms(a_ops, bt_phys, iterations=it,
                                     repeats=5))
-    for name, body in (("dense_path", body_dense),
-                       ("b_gather", body_b_gather),
-                       ("a_gather", body_a_gather),
-                       ("a_gather_panels", body_a_gather_panels),
-                       ("dots_pregathered", body_dots),
-                       ("residual_path", body_residual),
-                       ("res_a_gather", body_res_a_gather),
-                       ("res_b_gather", body_res_b_gather)):
+    bodies = [("dense_path", body_dense),
+              ("b_gather", body_b_gather),
+              ("a_gather", body_a_gather),
+              ("a_gather_panels", body_a_gather_panels),
+              ("dots_pregathered", body_dots),
+              ("residual_path", body_residual),
+              ("res_a_gather", body_res_a_gather),
+              ("res_b_gather", body_res_b_gather)]
+    if H:
+        bodies.append(("hub_slab", body_hub))
+    for name, body in bodies:
         if name == "dots_pregathered":
             ms = measure_loop_ms(body, tuple(pre_flat), iterations=it,
                                  repeats=4)

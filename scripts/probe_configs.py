@@ -25,13 +25,14 @@ import numpy as np
 
 def parse_spec(spec: str) -> dict:
     out = {"a": 0.3, "d": 0.05, "g": 1, "c": 1, "hub": 0, "pallas": 0,
-           "dtype": "tf32", "merge": 1, "apanels": 0, "windowdp": 1}
+           "dtype": "tf32", "merge": 1, "apanels": 0, "windowdp": 1,
+           "sort": "cid", "sortres": "csr", "bscale": 1.0}
     for kv in spec.split(","):
         k, v = kv.split("=")
         k = k.strip()
-        if k in ("a", "d"):
+        if k in ("a", "d", "bscale"):
             out[k] = float(v)
-        elif k == "dtype":
+        elif k in ("dtype", "sort", "sortres"):
             out[k] = v.strip()
         else:
             out[k] = int(v)
@@ -82,7 +83,9 @@ def main(argv=None) -> int:
                             merge_superpanels=bool(sp["merge"]),
                             hub_cols=sp["hub"],
                             compute_dtype=sp["dtype"],
-                            window_dp=bool(sp["windowdp"]))
+                            window_dp=bool(sp["windowdp"]),
+                            sort_runs=sp["sort"], sort_res=sp["sortres"],
+                            b_cost_scale=sp["bscale"])
         pk = tuned.packed
         tag = (f"a={sp['a']} d={sp['d']} G={sp['g']} C={sp['c']} "
                f"H={sp['hub']}"
@@ -90,6 +93,10 @@ def main(argv=None) -> int:
                + (" apanels" if sp["apanels"] else "")
                + ("" if sp["merge"] else " nomerge")
                + ("" if sp["windowdp"] else " legacy-carve")
+               + (f" sort={sp['sort']}" if sp["sort"] != "cid" else "")
+               + (f" sortres={sp['sortres']}"
+                  if sp["sortres"] != "csr" else "")
+               + (f" bscale={sp['bscale']}" if sp["bscale"] != 1.0 else "")
                + (f" {sp['dtype']}" if sp["dtype"] != "tf32" else ""))
         runner = HybridSDDMM(pk, compute_dtype=sp["dtype"],
                              k_chunks=sp["c"],

@@ -30,6 +30,18 @@ Patterns:
                the 1/8 grid under-measured the achievable rate there,
                which showed up as roofline_fraction 2.9 > 1 on
                powerlaw in bench_r4_k128.log — an impossible floor).
+- ``seq``:     SORTED uniform draw (monotone source addresses with
+               repeats and gaps) — the container-sorted window class
+               the real kernels produce after the round-5
+               ``sort_runs="gid"`` layout, and the access pattern the
+               K>=128 kernels already approximate (VERDICT r4 next #4:
+               the grid was missing the kernels' actual best case, so
+               6/20 roofline fractions exceeded 1).
+
+The output records the session's canary (``{"canary": {...}}``) so
+``autotune.load_gather_grid`` can normalize the rates to
+calibration-day chip speed (ADVICE r4: a grid measured on a slow
+session inflates every floor by the drift factor).
 
 Writes results/gather_grid.json:
   {"<pattern>": {"<row_bytes>": {"<src_mb>": M rows/s}}}
@@ -64,12 +76,14 @@ def main(argv=None) -> int:
     from sddmm_tpu.utils.canary import format_canary, measure_canary
     from sddmm_tpu.utils.timing import measure_loop_ms
 
+    canary_start = None
     if jax.devices()[0].platform != "cpu":
-        print(format_canary(measure_canary()), flush=True)
+        canary_start = measure_canary()
+        print(format_canary(canary_start), flush=True)
 
     rng = np.random.default_rng(0)
     scale = 64 if args.quick else 1
-    widths = (128, 512, 1024, 2048, 4096, 8192, 16384)
+    widths = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
     footprints = (2, 8, 16, 64)
     # keep the gather OUTPUT fixed at ~64 MB so the write side never
     # becomes the variable; descriptors per call = payload / width
@@ -93,9 +107,13 @@ def main(argv=None) -> int:
             starts = np.sort(rng.integers(0, max(rows - 16, 1), nblk))
             idx = (starts[:, None] + np.arange(16)[None, :]).reshape(-1)
             return idx[:n_idx]
+        if pattern == "seq":
+            # monotone source addresses with repeats and gaps — the
+            # container-sorted window class (sort_runs="gid")
+            return np.sort(rng.integers(0, rows, n_idx))
         raise ValueError(pattern)
 
-    for pattern in ("uniform", "tiled", "hot", "hot64"):
+    for pattern in ("uniform", "tiled", "hot", "hot64", "seq"):
         grid = {}
         for rb in widths:
             cols = rb // 4
@@ -124,7 +142,17 @@ def main(argv=None) -> int:
         out[pattern] = grid
 
     if jax.devices()[0].platform != "cpu":
-        print("end " + format_canary(measure_canary()), flush=True)
+        canary_end = measure_canary()
+        print("end " + format_canary(canary_end), flush=True)
+        # session tag for load_gather_grid's normalization: gather
+        # ratio = geomean of start/end (measured/ref; >1 = slow session)
+        rs = [c.get("gather_ratio") for c in (canary_start, canary_end)
+              if c and c.get("gather_ratio")]
+        tag = dict(canary_end)
+        if rs:
+            tag["gather_ratio"] = round(
+                float(np.exp(np.mean(np.log(rs)))), 3)
+        out["canary"] = tag
     dest = Path(args.output)
     dest.parent.mkdir(parents=True, exist_ok=True)
     dest.write_text(json.dumps(out, indent=1))

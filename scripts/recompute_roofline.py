@@ -76,7 +76,14 @@ def main(argv=None) -> int:
             if not sess:
                 continue
             ms = float(np.median(sess))
-            cfg = bench.load_tuned_config(name, k) or {}
+            cfg = bench.load_tuned_config(name, k)
+            if cfg is None:
+                # no committed config: bench never ran this cell with
+                # the default packing a bare from_params would build —
+                # a floor for the wrong program is worse than no floor
+                # (ADVICE r4)
+                print(f"k{k} {name}: no committed tuned config; skip")
+                continue
             cdt = cfg.get("dtype", "tf32")
             csr = gen()
             if cfg.get("dense"):
@@ -94,19 +101,35 @@ def main(argv=None) -> int:
                     k_chunks=cfg.get("c", 1),
                     merge_superpanels=cfg.get("merge", True),
                     hub_cols=cfg.get("hub", 0), compute_dtype=cdt,
-                    window_dp=cfg.get("window_dp", True))
+                    window_dp=cfg.get("window_dp", True),
+                    sort_runs=cfg.get("sort_runs", "cid"),
+                    sort_res=cfg.get("sort_res", "csr"),
+                    b_cost_scale=cfg.get("b_cost_scale", 1.0))
                 sol_ms = bench.sol_ms_of(tuned.packed, k, cdt)
                 floor_ms = max(sol_ms, descriptor_floor_ms(
                     tuned.packed, k, cdt, cfg.get("c", 1),
                     cfg.get("a_layout", "rows")))
             ms = max(ms, sol_ms)  # bench's sub-floor clamp
-            per[name] = {"ms": round(ms, 4),
-                         "sol_fraction": round(sol_ms / ms, 3),
-                         "roofline_fraction": round(floor_ms / ms, 3),
-                         "floor_ms": round(floor_ms, 4),
-                         "source_log": log.name}
+            rec_cell = {"ms": round(ms, 4),
+                        "sol_fraction": round(sol_ms / ms, 3),
+                        "floor_ms": round(floor_ms, 4),
+                        "source_log": log.name}
+            if floor_ms > ms:
+                # a "floor" above measured time is no floor — never
+                # publish a fraction > 1 (VERDICT r4 next #4): the grid
+                # is missing this cell's access pattern, say so
+                rec_cell["roofline_fraction"] = None
+                rec_cell["floor_status"] = (
+                    "unbound: measured beats the modeled floor by "
+                    f"{floor_ms / ms:.2f}x — the gather grid lacks "
+                    "this config's access pattern; floor unknown")
+            else:
+                rec_cell["roofline_fraction"] = round(floor_ms / ms, 3)
+            per[name] = rec_cell
             print(f"k{k} {name}: ms={ms:.4f} floor={floor_ms:.4f} "
-                  f"roofline_fraction={floor_ms / ms:.3f}", flush=True)
+                  f"roofline_fraction={floor_ms / ms:.3f}"
+                  + (" (UNBOUND -> null)" if floor_ms > ms else ""),
+                  flush=True)
         out[f"k{k}"] = per
 
     dest = ROOT / args.output

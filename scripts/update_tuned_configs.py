@@ -41,6 +41,18 @@ def parse_tag(tag: str) -> dict:
         cfg["merge"] = False
     if " legacy-carve" in tag:
         cfg["window_dp"] = False
+    m = re.search(r" sort=(\w+)", tag)
+    if m and m.group(1) != "cid":
+        cfg["sort_runs"] = m.group(1)
+    m = re.search(r" sortres=(\w+)", tag)
+    if m and m.group(1) != "csr":
+        cfg["sort_res"] = m.group(1)
+    m = re.search(r" bscale=([\d.]+)", tag)
+    if m and float(m.group(1)) != 1.0:
+        cfg["b_cost_scale"] = float(m.group(1))
+    m = re.search(r" (float32|mixed|float16|bfloat16)$", tag)
+    if m:
+        cfg["dtype"] = m.group(1)
     return cfg
 
 

@@ -47,11 +47,13 @@ _REPEAT_COST = 0.35
 
 # Roofline rate surface (descriptor_floor_ms): best-measured-pattern
 # take rates, (row_bytes -> {src_mb -> M rows/s}), from
-# scripts/probe_gather_grid.py (patterns: uniform / tiled 16-row blocks
-# / hot 1-in-8 subset; the floor takes the max — packed-tile gathers
-# are clustered and repeat-heavy, so the achievable rate is the best
-# pattern, not the uniform one the COST model prices with).  Loaded
-# from results/gather_grid.json when present; empty = fall back to the
+# scripts/probe_gather_grid.py (patterns: uniform / tiled 16-row
+# blocks / hot 1-in-8 subset / hot64 repeat-heavy / seq
+# panel-sequential; the floor takes the max over whatever patterns the
+# grid file carries — packed-tile gathers are clustered and
+# repeat-heavy, so the achievable rate is the best pattern, not the
+# uniform one the COST model prices with).  Loaded from
+# results/gather_grid.json when present; empty = fall back to the
 # uniform-rate tables above.
 _FLOOR_RATE: dict = {}
 
@@ -63,16 +65,47 @@ def load_gather_grid(path_or_dict) -> None:
 
     grid = (path_or_dict if isinstance(path_or_dict, dict)
             else json.loads(Path(path_or_dict).read_text()))
+    def _is_rate_grid(v) -> bool:
+        """A pattern grid is {width -> {footprint -> rate}} with numeric
+        keys/values throughout; dict-valued metadata (e.g. a per-session
+        canary record) must not be mistaken for one (ADVICE r4)."""
+        if not isinstance(v, dict) or not v:
+            return False
+        for rb, per_w in v.items():
+            try:
+                int(rb)
+            except (TypeError, ValueError):
+                return False
+            if not isinstance(per_w, dict) or not per_w:
+                return False
+            for mb, rate in per_w.items():
+                try:
+                    float(mb), float(rate)
+                except (TypeError, ValueError):
+                    return False
+        return True
+
     merged: dict = {}
-    # pattern-generic: any dict-valued key is a measured pattern grid
-    # (metadata keys like "device"/"platform" are strings)
-    patterns = [k for k, v in grid.items() if isinstance(v, dict)]
+    # pattern-generic: any rate-grid-shaped key is a measured pattern
+    # (metadata keys — strings, or dicts like a canary record — skip)
+    patterns = [k for k, v in grid.items() if _is_rate_grid(v)]
+    # optional canary normalization (ADVICE r4): a grid measured in a
+    # session whose gather canary drifted scales every rate by the same
+    # factor; dividing by the recorded ratio restores calibration-day
+    # rates so floors are comparable with canary-normalized bench runs
+    scale = 1.0
+    canary = grid.get("canary")
+    if isinstance(canary, dict):
+        r = canary.get("gather_ratio")
+        if r:
+            scale = float(r)  # ratio = measured/ref; slow session (>1)
+            #                   measured LOW rates -> multiply back up
     for pattern in patterns:
         for rb, per_w in grid.get(pattern, {}).items():
             dst = merged.setdefault(int(rb), {})
             for mb, rate in per_w.items():
                 dst[float(mb)] = max(dst.get(float(mb), 0.0),
-                                     float(rate))
+                                     float(rate) * scale)
     if merged:
         _FLOOR_RATE.clear()
         _FLOOR_RATE.update(merged)
@@ -289,7 +322,20 @@ def estimate_ms(packed: PackedMatrix, k: int,
     stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4 + slab_bytes
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
 
-    # MXU.
+    t_mxu = mxu_ms(packed, k, compute_dtype)
+
+    t_gather = t_b + t_a + t_r
+    # Gathers and streaming barely overlap; the MXU overlaps with gathers.
+    return t_gather + t_stream + max(t_mxu - t_gather, 0.0)
+
+
+def mxu_ms(packed: PackedMatrix, k: int,
+           compute_dtype: str = "tf32") -> float:
+    """Modeled MXU time (ms) of a packing's batched dots + hub slab, at
+    the measured per-height batched-dot rates (_DOT_G16_MS).  Shared by
+    estimate_ms and bench.py's per-cell canary normalization (the
+    gather/matmul boundedness weight of each suite cell)."""
+    H = packed.hub_cols
     rate128 = _DOT_G16_MS.get((compute_dtype, 128), 54.0e6)
     t_mxu = (packed.num_groups / _DOT_G16_MS.get((compute_dtype, 16),
                                                  11.5e6)
@@ -303,10 +349,7 @@ def estimate_ms(packed: PackedMatrix, k: int,
         # slab = (m, K) x (K, H) matmul: (m/16)*(H/128) 16-row groups
         t_mxu += (packed.m / 16.0) * (H / 128.0) / rate128 \
             * 1e3 * (k / 128.0)
-
-    t_gather = t_b + t_a + t_r
-    # Gathers and streaming barely overlap; the MXU overlaps with gathers.
-    return t_gather + t_stream + max(t_mxu - t_gather, 0.0)
+    return t_mxu
 
 
 def estimate_dense_ms(m: int, n: int, k: int,
@@ -569,7 +612,10 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
                 compute_dtype: str = "tf32",
                 method: str = "auto",
                 hub_cols: int = 0,
-                window_dp: bool = True) -> TunedConfig:
+                window_dp: bool = True,
+                sort_runs: str = "cid",
+                sort_res: str = "csr",
+                b_cost_scale: float = 1.0) -> TunedConfig:
     """Build a TunedConfig for an explicit (alpha, delta, G, C, merge)
     choice — the deterministic path bench.py uses with the committed
     per-matrix configs (results/tuned_configs.json), mirroring the
@@ -588,7 +634,9 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
     bsmr = BSMR(alpha, delta, csr, method=method, group_size=group_size,
                 col_rank=rank, hub_cols=hub_cols)
     packed = pack(csr, bsmr, k_hint=k, merge_superpanels=merge_superpanels,
-                  compute_dtype=compute_dtype, window_dp=window_dp)
+                  compute_dtype=compute_dtype, window_dp=window_dp,
+                  sort_runs=sort_runs, sort_res=sort_res,
+                  b_cost_scale=b_cost_scale)
     return TunedConfig(alpha, delta, merge_superpanels, group_size,
                        k_chunks, estimate_ms(packed, k, compute_dtype,
                                              k_chunks), packed, bsmr,

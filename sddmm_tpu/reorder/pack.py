@@ -263,8 +263,36 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          absorb_residual: bool = True,
          compute_dtype: str = "tf32",
          window_dp: bool = True,
+         sort_runs: str = "cid",
+         sort_res: str = "csr",
+         b_cost_scale: float = 1.0,
          full_metadata: bool = True) -> PackedMatrix:
-    """full_metadata=False skips the packed_size-sized metadata
+    """sort_runs: run order of containers within each (family, bucket)
+    device segment — "cid" (panel/cluster order, historical default) or
+    "gid" (ascending first column-group id, so the concatenated B-gather
+    descriptor stream is near-monotone in source address; the gather
+    grid shows packed/ascending patterns run faster than random-window
+    order at the same width x footprint).  Pure layout permutation: the
+    packed-order contract, inv_idx and all metadata follow the chosen
+    order.
+
+    sort_res: residual-slot order — "csr" (CSR entry order, historical
+    default: row-major, so the per-entry A-row stream repeats within a
+    row) or "gid" (ascending column-group id: the per-entry B stream
+    becomes repeat-heavy/monotone — the gather grid's fast hot64 class —
+    at the cost of randomizing the A-row stream).  Which side wins
+    depends on the residual's row/col repeat structure; shootout decides
+    per matrix.
+
+    b_cost_scale: multiplies the B-descriptor term of the carve cost
+    model (the 128-lane gather per chunk).  >1 biases the DP toward
+    taller containers wherever panel unions overlap (B descriptors are
+    per-container, so sharing a window across 16-row panels removes
+    whole descriptor rows); the bytes model at 1.0 under-prices the
+    descriptor-issue cost the gather engine actually binds on at
+    K<=128 (docs/performance.md).
+
+    full_metadata=False skips the packed_size-sized metadata
     (per-tile CSR cubes, packed_rows/cols, csr_dest) — those arrays cost
     ~85% of pack() host time and only the autotune *winner* needs them
     (HybridSDDMM kernel timing in packed order does not).  Light packs
@@ -280,6 +308,15 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                                   + now - _t0)
         _t0 = now
 
+    if sort_runs not in ("cid", "gid"):
+        raise ValueError(f"unknown sort_runs {sort_runs!r} "
+                         "(expected 'cid' or 'gid')")
+    if sort_res not in ("csr", "gid"):
+        raise ValueError(f"unknown sort_res {sort_res!r} "
+                         "(expected 'csr' or 'gid')")
+    cost_per_col = (_COST_PER_COL if b_cost_scale == 1.0 else
+                    {r: (128 * float(b_cost_scale) + 32 * r) * 4
+                     / _GATHER_BYTES_PER_NS for r in (1, 2, 4, 8)})
     panel_sz = config.ROW_PANEL_SIZE
     m, n = csr.shape
     G = int(bsmr.group_size)
@@ -408,7 +445,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
             chunks = -(-usize[r] // LG)  # padded(len)/LG, vectorized
             seg_cost[r] = np.where(
                 usize[r] > 0,
-                _COST_PER_COL[r] * G * chunks * LG + mxu_ns[r] * r * chunks,
+                cost_per_col[r] * G * chunks * LG + mxu_ns[r] * r * chunks,
                 0.0)
 
         dp = np.zeros(num_panels + 1)
@@ -477,7 +514,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
                     # measured to push decisions toward small r and
                     # lose ~45% end-to-end on coarse block structure).
                     chunks = padded(len(u)) // LG
-                    cost_r += (_COST_PER_COL[r] * lane_b * chunks * LG
+                    cost_r += (cost_per_col[r] * lane_b * chunks * LG
                                + mxu_ns[r] * r * chunks)
             sub_unions[r] = unions_r
             costs[r] = cost_r
@@ -608,8 +645,17 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     for cid in range(num_cont):
         fam_conts[cont_family[cid]].append(cid)
 
+    if sort_runs == "gid":
+        # ascending-window run order: the concatenated per-bucket gid
+        # stream becomes near-monotone in B^T source address (see the
+        # sort_runs docstring); ties broken by cid for determinism
+        def _run_key(cid):
+            return (bucket_of_cid(cid), int(cont_groups[cid][0]), cid)
+    else:
+        def _run_key(cid):
+            return (bucket_of_cid(cid), cid)
     for f in fam_conts:
-        fam_conts[f].sort(key=lambda cid: (bucket_of_cid(cid), cid))
+        fam_conts[f].sort(key=_run_key)
 
     # Per-container topology as flat arrays (members are CONSECUTIVE
     # panels under both carves — the DP emits range(i, j) and the window
@@ -803,6 +849,13 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     res_gids_arr = entry_gid[rest]
     res_member_arr = entry_member[rest]
     res_csr = entry_idx[rest]
+    if sort_res == "gid" and len(res_gids_arr):
+        rorder = np.argsort(res_gids_arr, kind="stable")
+        res_rows = res_rows[rorder]
+        res_cols = res_cols[rorder]
+        res_gids_arr = res_gids_arr[rorder]
+        res_member_arr = res_member_arr[rorder]
+        res_csr = res_csr[rorder]
 
     # Dense hub slab entries: slot = slab_base + row * H + rank.
     hub_rows_arr = entry_rows[hub_e]
