@@ -355,9 +355,18 @@ def main():
         # across sessions rejects chip-rate swings between sessions.
         n_sessions = 1 if args.quick else max(args.sessions, 1)
         sess = []
-        for s in range(n_sessions):
+        it_n = args.iterations
+        s = 0
+        while s < n_sessions:
+            if sess and min(sess) < 0.1 and not args.quick:
+                # sub-100 us cells: the loop-differenced sample is noise-
+                # dominated through the tunnel (the dlmc floor-clamp
+                # class, VERDICT r4 next #7) — more loop iterations and
+                # more sessions shrink the relative error
+                it_n = max(it_n, 2 * args.iterations)
+                n_sessions = max(n_sessions, 5)
             ms_s = runner.measure_kernel_ms(
-                a_pad, bt_pad, iterations=args.iterations,
+                a_pad, bt_pad, iterations=it_n,
                 repeats=4, order="packed")
             if ms_s < 0.7 * sol_ms:
                 # faster than the matrix's own minimum-bytes floor:
@@ -372,6 +381,7 @@ def main():
                         f"{name}: session {s} below SoL floor "
                         f"({ms_s:.4f} ms < 0.7*{sol_ms:.4f} ms)")
             sess.append(ms_s)
+            s += 1
         ms = float(np.median(sess))
         clamped[name] = bool(ms < sol_ms)
         if ms < sol_ms:

@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                    "a bench-suite name")
     args = p.parse_args(argv)
 
+    from sddmm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

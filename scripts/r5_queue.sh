@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-5 TPU queue, phase 1: name the binding term on the committed
-# hybrid configs (VERDICT r4 next #1), then shoot out the round-5 pack
-# levers (run-order gid sort, B-cost-scaled carve, residual gid sort,
-# hub knee) against the committed configs, interleaved in-process so
-# tunnel drift cannot fake a ranking.
+# Round-5 TPU queue, phase 1: shoot out the round-5 pack levers
+# (run-order gid sort, B-cost-scaled carve, residual gid sort, hub knee)
+# against the committed configs, interleaved in-process so tunnel drift
+# cannot fake a ranking; THEN the committed-config breakdowns (slow
+# compiles — today's tunnel compiles at ~5-8 min/program, so the
+# decisions come first and the attribution after).
 #
 # RESTART-SAFE: relaunch the whole thing after an outage/eviction
 # (CLAUDE.md rule 13):
@@ -19,26 +20,14 @@ run() {
     return 0
   fi
   echo "=== $log: $* ==="
-  timeout --foreground 2400 "$@" >"$R/$log" 2>&1
+  timeout --foreground 3600 "$@" >"$R/$log" 2>&1
   echo "rc=$?" >>"$R/$log"
   tail -6 "$R/$log"
 }
 
 run canary_r5_open.log python -m sddmm_tpu.utils.canary
 
-# --- 1. committed-config breakdowns (what actually binds, per regime) ---
-run probe_breakdown_clustered16_r5.log python scripts/probe_breakdown.py \
-  --matrix clustered16 --k 128 --committed
-run probe_breakdown_clustered128_r5.log python scripts/probe_breakdown.py \
-  --matrix clustered128 --k 128 --committed
-run probe_breakdown_banded_r5.log python scripts/probe_breakdown.py \
-  --matrix banded --k 128 --committed
-run probe_breakdown_powerlaw_r5.log python scripts/probe_breakdown.py \
-  --matrix powerlaw --k 128 --committed
-git add results/ && git commit -q \
-  -m "Round-5 committed-config breakdown probes (k128)" || true
-
-# --- 2. pack-lever shootouts vs the committed config, per regime ---
+# --- 1. pack-lever shootouts vs the committed config, per regime ---
 # clustered16 committed: a=0.3,d=0.05,g=1,c=1,merge,pallas,apanels
 run probe_r5levers_clustered16.log python scripts/probe_configs.py \
   --matrix clustered16 --k 128 --skip-check --configs "\
@@ -47,6 +36,8 @@ a=0.3,d=0.05,pallas=1,apanels=1,sort=gid;\
 a=0.3,d=0.05,pallas=1,apanels=1,bscale=2;\
 a=0.3,d=0.05,pallas=1,apanels=1,bscale=3;\
 a=0.3,d=0.05,pallas=1,apanels=1,sort=gid,bscale=2"
+git add results/ && git commit -q \
+  -m "Round-5 lever shootout: clustered16 k128" || true
 # clustered128 committed: a=0.5,d=0.0,g=1,c=1,merge,apanels
 run probe_r5levers_clustered128.log python scripts/probe_configs.py \
   --matrix clustered128 --k 128 --skip-check --configs "\
@@ -54,6 +45,8 @@ a=0.5,d=0.0,apanels=1;\
 a=0.5,d=0.0,apanels=1,sort=gid;\
 a=0.5,d=0.0,apanels=1,bscale=2;\
 a=0.5,d=0.0,apanels=1,sort=gid,bscale=2"
+git add results/ && git commit -q \
+  -m "Round-5 lever shootout: clustered128 k128" || true
 # banded committed: a=0.3,d=0.05,g=1,c=1,merge,pallas,apanels
 run probe_r5levers_banded.log python scripts/probe_configs.py \
   --matrix banded --k 128 --skip-check --configs "\
@@ -61,6 +54,8 @@ a=0.3,d=0.05,pallas=1,apanels=1;\
 a=0.3,d=0.05,pallas=1,apanels=1,sort=gid;\
 a=0.3,d=0.05,pallas=1,apanels=1,bscale=2;\
 a=0.3,d=0.05,pallas=1,apanels=1,sort=gid,bscale=2"
+git add results/ && git commit -q \
+  -m "Round-5 lever shootout: banded k128" || true
 # powerlaw committed: a=0.1,d=0.05,hub=2048,merge,apanels
 run probe_r5levers_powerlaw.log python scripts/probe_configs.py \
   --matrix powerlaw --k 128 --skip-check --configs "\
@@ -70,7 +65,19 @@ a=0.1,d=0.05,hub=4096,apanels=1;\
 a=0.1,d=0.05,hub=4096,apanels=1,sortres=gid;\
 a=0.1,d=0.05,hub=1024,apanels=1,sortres=gid"
 git add results/ && git commit -q \
-  -m "Round-5 pack-lever shootout probes (k128)" || true
+  -m "Round-5 lever shootout: powerlaw k128" || true
+
+# --- 2. committed-config breakdowns (what actually binds, per regime) ---
+run probe_breakdown_clustered16_r5.log python scripts/probe_breakdown.py \
+  --matrix clustered16 --k 128 --committed
+run probe_breakdown_clustered128_r5.log python scripts/probe_breakdown.py \
+  --matrix clustered128 --k 128 --committed
+run probe_breakdown_powerlaw_r5.log python scripts/probe_breakdown.py \
+  --matrix powerlaw --k 128 --committed
+run probe_breakdown_banded_r5.log python scripts/probe_breakdown.py \
+  --matrix banded --k 128 --committed
+git add results/ && git commit -q \
+  -m "Round-5 committed-config breakdown probes (k128)" || true
 
 run canary_r5_phase1_end.log python -m sddmm_tpu.utils.canary
 echo "r5 queue phase 1 done"

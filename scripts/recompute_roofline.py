@@ -58,7 +58,8 @@ def main(argv=None) -> int:
     out = {}
     for k in args.ks:
         log = None
-        for cand in (ROOT / f"results/bench_r4_k{k}.log",
+        for cand in (ROOT / f"results/bench_r5a_k{k}.log",
+                     ROOT / f"results/bench_r4_k{k}.log",
                      ROOT / "results/bench_r4_k128.log"
                      if k == 128 else None,
                      ROOT / f"results/bench_r3_final_k{k}.log"):

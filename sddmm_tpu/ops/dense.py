@@ -258,9 +258,14 @@ class DenseSDDMM:
                                if flat_idx is not None
                                else out[rows_cols[0], rows_cols[1]])
                 # the barrier blocks dot->reduce fusion, so the (M, N)
-                # product must be materialized before the slice reads it
+                # product must be materialized before the consumer reads
+                # it; the consumer is a ~1024-point strided checksum
+                # across the WHOLE buffer (not a corner slice), so no
+                # rewrite can serve it from a partial product
                 out = jax.lax.optimization_barrier(out)
-                return jnp.sum(out.reshape(-1)[:8]) * jnp.float32(1e-38)
+                flat_o = out.reshape(-1)
+                stride = max(flat_o.shape[0] // 1024, 1)
+                return jnp.sum(flat_o[::stride]) * jnp.float32(1e-38)
 
             return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
