@@ -50,6 +50,9 @@ def parse_tag(tag: str) -> dict:
     m = re.search(r" bscale=([\d.]+)", tag)
     if m and float(m.group(1)) != 1.0:
         cfg["b_cost_scale"] = float(m.group(1))
+    m = re.search(r" rowslab=(\d+)", tag)
+    if m and int(m.group(1)):
+        cfg["rowslab"] = int(m.group(1))
     m = re.search(r" (float32|mixed|float16|bfloat16)$", tag)
     if m:
         cfg["dtype"] = m.group(1)

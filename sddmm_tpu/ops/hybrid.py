@@ -137,6 +137,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                        group_gids, res_rows, res_gids, res_member,
                        hub_start=None, a_panels=None, super_pst=None,
                        quad_pst=None, pair_pst=None, group_pst=None,
+                       rowslab_rows=None,
                        compute_dtype="tf32", g=1, kc=0, pallas_dots=False,
                        super_buckets=(), quad_buckets=(), pair_buckets=(),
                        group_buckets=(), h=0):
@@ -278,6 +279,30 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
                                        axis=1)
             acc_h = acc_h + dot(a_c, bhub, dn_h, allow_pallas=False)
         segments.append(acc_h.reshape(-1))
+
+    # Hot-row dense slab (the hub's transpose, reorder/pack.py): the R
+    # hottest residual rows against the contiguous COLD-column slice of
+    # grouped B^T (ranks [H, NG*G)) — one gathered (R, K) A block, zero
+    # B descriptors.  rowslab_rows arrives perturbed by the timing
+    # harness, so the dot cannot be hoisted; the loop-invariant B slice
+    # hoisting is immaterial (a slice is free).
+    if rowslab_rows is not None:
+        hg = h // g
+        sg = bt_phys.shape[1] - 1 - hg
+        a_hot = jnp.take(a_pad, rowslab_rows, axis=0)   # (R, K)
+        nR_hot = rowslab_rows.shape[0]
+        dn_s = ((((1,), (1,)), ((), ())) if g == 1
+                else (((1,), (2,)), ((), ())))
+        acc_s = jnp.zeros((nR_hot, sg) if g == 1 else (nR_hot, sg, g),
+                          jnp.float32)
+        for c in range(C):
+            bslab = jax.lax.slice_in_dim(bt_phys[c], hg, hg + sg, axis=0)
+            if g > 1:
+                bslab = bslab.reshape(sg, g, kc)
+            a_c = jax.lax.slice_in_dim(a_hot, c * kc, (c + 1) * kc,
+                                       axis=1)
+            acc_s = acc_s + dot(a_c, bslab, dn_s, allow_pallas=False)
+        segments.append(acc_s.reshape(-1))
 
     # Residual: fetch the entry's column group, select member lane via a
     # one-hot contraction (take_along_axis lowers to a per-element gather
@@ -433,6 +458,9 @@ class HybridSDDMM:
         self._res_gids = put(jnp.asarray(packed.res_gids, dtype=jnp.int32))
         self._res_member = put(jnp.asarray(packed.res_member,
                                            dtype=jnp.int32))
+        self._rowslab_rows = (put(jnp.asarray(packed.rowslab_rows,
+                                              dtype=jnp.int32))
+                              if packed.rowslab_rows is not None else None)
         self._col_order_dev = None
         self._inv_idx = put(jnp.asarray(packed.inv_idx, dtype=jnp.int32))
         # light packs (pack(..., full_metadata=False), autotune
@@ -568,6 +596,7 @@ class HybridSDDMM:
             quad_pst=self._fam_pst["quad"],
             pair_pst=self._fam_pst["pair"],
             group_pst=self._fam_pst["group"],
+            rowslab_rows=self._rowslab_rows,
             compute_dtype=self.compute_dtype,
             g=self.packed.group_size, kc=kc,
             pallas_dots=self.use_pallas,
@@ -643,6 +672,7 @@ class HybridSDDMM:
             "res_rows": self._res_rows, "res_gids": self._res_gids,
             "res_member": self._res_member,
             "pst": dict(self._fam_pst),
+            "rowslab_rows": self._rowslab_rows,
         }
         csr_strategy = None
         plan_dev = None
@@ -699,6 +729,7 @@ class HybridSDDMM:
                     quad_pst=mask_opt(ix["pst"]["quad"]),
                     pair_pst=mask_opt(ix["pst"]["pair"]),
                     group_pst=mask_opt(ix["pst"]["group"]),
+                    rowslab_rows=mask_opt(ix["rowslab_rows"]),
                     compute_dtype=self.compute_dtype,
                     g=self.packed.group_size, kc=kc,
                     pallas_dots=self.use_pallas,

@@ -346,6 +346,11 @@ class DistributedHybridSDDMM:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.default_order = default_order
+        if packed.rowslab_rows is not None:
+            raise NotImplementedError(
+                "hot-row slab packings are single-chip only for now; "
+                "re-pack with hot_rows=0 for the distributed runner "
+                "(the slab would need per-device hot-row partitioning)")
         if a_layout not in ("rows", "panels"):
             raise ValueError(f"unknown a_layout {a_layout!r}")
         self.a_layout = a_layout

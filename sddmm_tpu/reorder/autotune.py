@@ -319,6 +319,11 @@ def estimate_ms(packed: PackedMatrix, k: int,
     # stream bandwidth (no descriptors).
     slab_bytes = (H * k * b_el + packed.m * k * a_el * min(C, 1)
                   + packed.m * H * 4) if H else 0
+    if packed.rowslab_nrows:
+        # hot-row slab: B cold-slice read + hot-A read + slab write
+        slab_bytes += (packed.rowslab_width * k * b_el
+                       + packed.rowslab_nrows * k * a_el
+                       + packed.rowslab_nrows * packed.rowslab_width * 4)
     stream_bytes = gathered + cells * 4 * (2 * C - 1) + nR * 4 + slab_bytes
     t_stream = stream_bytes / (STREAM_GBPS * 1e6)
 
@@ -348,6 +353,11 @@ def mxu_ms(packed: PackedMatrix, k: int,
     if H:
         # slab = (m, K) x (K, H) matmul: (m/16)*(H/128) 16-row groups
         t_mxu += (packed.m / 16.0) * (H / 128.0) / rate128 \
+            * 1e3 * (k / 128.0)
+    if packed.rowslab_nrows:
+        # hot-row slab = (R, K) x (K, S) matmul
+        t_mxu += (packed.rowslab_nrows / 16.0) \
+            * (packed.rowslab_width / 128.0) / rate128 \
             * 1e3 * (k / 128.0)
     return t_mxu
 
@@ -615,7 +625,8 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
                 window_dp: bool = True,
                 sort_runs: str = "cid",
                 sort_res: str = "csr",
-                b_cost_scale: float = 1.0) -> TunedConfig:
+                b_cost_scale: float = 1.0,
+                hot_rows: int = 0) -> TunedConfig:
     """Build a TunedConfig for an explicit (alpha, delta, G, C, merge)
     choice — the deterministic path bench.py uses with the committed
     per-matrix configs (results/tuned_configs.json), mirroring the
@@ -636,7 +647,7 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
     packed = pack(csr, bsmr, k_hint=k, merge_superpanels=merge_superpanels,
                   compute_dtype=compute_dtype, window_dp=window_dp,
                   sort_runs=sort_runs, sort_res=sort_res,
-                  b_cost_scale=b_cost_scale)
+                  b_cost_scale=b_cost_scale, hot_rows=hot_rows)
     return TunedConfig(alpha, delta, merge_superpanels, group_size,
                        k_chunks, estimate_ms(packed, k, compute_dtype,
                                              k_chunks), packed, bsmr,

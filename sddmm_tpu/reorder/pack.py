@@ -200,17 +200,30 @@ class PackedMatrix:
     hub_rows: np.ndarray = None   # (nnz_hub,) original row ids
     hub_rank: np.ndarray = None   # (nnz_hub,) column rank = slab lane
     hub_csr: np.ndarray = None    # (nnz_hub,) CSR value index
+    # Hot-row dense slab (the hub's transpose): the R rows carrying the
+    # most residual entries are computed as ONE (R, K) x (K, S) MXU dot
+    # against the contiguous cold-column slice of the grouped B^T
+    # layout (ranks [H, NG*G)) — R gather descriptors total instead of
+    # 2 per entry.  The power-law regime's residual is exactly this
+    # shape (hot rows x cold cols; the hub catches hot COLS).  Slab
+    # slot of an entry is hot_index(row) * S + (rank - H).
+    rowslab_rows: np.ndarray = None   # (R,) row ids (sentinel m)
+    rowslab_erows: np.ndarray = None  # (nnz_rs,) original row ids
+    rowslab_rank: np.ndarray = None   # (nnz_rs,) rank - H = slab lane
+    rowslab_csr: np.ndarray = None    # (nnz_rs,) CSR value index
 
     @property
     def packed_size(self) -> int:
         return (self.num_super * SUPER_CELLS + self.num_quads * QUAD_CELLS
                 + self.num_pairs * PAIR_CELLS
                 + self.num_groups * GROUP_CELLS
-                + self.m * self.hub_cols + self.nnz_res)
+                + self.m * self.hub_cols
+                + self.rowslab_nrows * self.rowslab_width + self.nnz_res)
 
     @property
     def nnz_dense(self) -> int:
-        return self.nnz - self.nnz_res - self.nnz_hub
+        return (self.nnz - self.nnz_res - self.nnz_hub
+                - self.nnz_rowslab)
 
     @property
     def nnz_res(self) -> int:
@@ -219,6 +232,22 @@ class PackedMatrix:
     @property
     def nnz_hub(self) -> int:
         return int(len(self.hub_rows)) if self.hub_rows is not None else 0
+
+    @property
+    def nnz_rowslab(self) -> int:
+        return (int(len(self.rowslab_erows))
+                if self.rowslab_erows is not None else 0)
+
+    @property
+    def rowslab_nrows(self) -> int:
+        return (int(len(self.rowslab_rows))
+                if self.rowslab_rows is not None else 0)
+
+    @property
+    def rowslab_width(self) -> int:
+        """S: cold-column rank-space width of the hot-row slab."""
+        return (self.num_col_groups * self.group_size - self.hub_cols
+                if self.rowslab_rows is not None else 0)
 
     @property
     def average_block_density(self) -> float:
@@ -266,6 +295,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          sort_runs: str = "cid",
          sort_res: str = "csr",
          b_cost_scale: float = 1.0,
+         hot_rows: int = 0,
          full_metadata: bool = True) -> PackedMatrix:
     """sort_runs: run order of containers within each (family, bucket)
     device segment — "cid" (panel/cluster order, historical default) or
@@ -283,6 +313,14 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     at the cost of randomizing the A-row stream).  Which side wins
     depends on the residual's row/col repeat structure; shootout decides
     per matrix.
+
+    hot_rows: R > 0 adds the hot-row dense slab (PackedMatrix
+    docstring): the R rows with the most residual entries after tile
+    matching and hub assignment are computed as one (R, K) x (K, S)
+    MXU dot against the contiguous cold-column slice of grouped B^T —
+    residual entries in those rows stop paying 2 gather descriptors
+    each (their A row + their B group), the power-law residual's
+    dominant cost.
 
     b_cost_scale: multiplies the B-descriptor term of the carve cost
     model (the 128-lane gather per chunk).  >1 biases the DP toward
@@ -844,6 +882,32 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         raise AssertionError("hub column matched a dense tile "
                              "(cols.py must exclude hub groups)")
     rest = ~matched & ~hub_e
+
+    # Hot-row dense slab: pick the R rows carrying the most residual
+    # entries; their residual entries move to the slab (slot =
+    # hot_index * S + rank - H), everything else stays per-entry.
+    R_hot = int(hot_rows)
+    S_width = NG * G - H
+    rowslab_rows_arr = None
+    rs_rows_e = rs_rank_e = rs_csr_e = None
+    if R_hot > 0:
+        counts = np.bincount(entry_rows[rest], minlength=m)
+        top = np.argsort(-counts, kind="stable")[:R_hot]
+        top = top[counts[top] > 0]
+        rowslab_rows_arr = np.full(R_hot, m, dtype=np.int64)
+        rowslab_rows_arr[:len(top)] = np.sort(top)
+        hot_index = np.full(m, -1, dtype=np.int64)
+        hot_index[rowslab_rows_arr[:len(top)]] = \
+            np.arange(len(top), dtype=np.int64)
+        in_slab = rest & (hot_index[entry_rows] >= 0)
+        rest = rest & ~in_slab
+        rs_rows_e = entry_rows[in_slab]
+        rs_rank_e = (entry_gid[in_slab] * G + entry_member[in_slab]
+                     - np.int64(H))
+        if np.any(rs_rank_e < 0):
+            raise AssertionError("hub entry leaked into the row slab")
+        rs_csr_e = entry_idx[in_slab]
+
     res_rows = entry_rows[rest]
     res_cols = col_idx[rest].astype(np.int64)
     res_gids_arr = entry_gid[rest]
@@ -862,13 +926,18 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     hub_rank_arr = (entry_gid[hub_e] * G + entry_member[hub_e])
     hub_csr_arr = entry_idx[hub_e]
     slab_base = dense_slots
-    res_base = dense_slots + m * H
+    rowslab_base = dense_slots + m * H
+    res_base = rowslab_base + (R_hot * S_width if R_hot > 0 else 0)
 
     # Inverse permutation: CSR entry -> packed slot.
     inv_idx = np.full(csr.nnz, -1, dtype=np.int64)
     inv_idx[entry_idx[matched]] = slot[matched]
     inv_idx[hub_csr_arr] = slab_base + hub_rows_arr * np.int64(H) \
         + hub_rank_arr
+    if R_hot > 0 and len(rs_csr_e):
+        inv_idx[rs_csr_e] = (rowslab_base
+                             + hot_index[rs_rows_e] * np.int64(S_width)
+                             + rs_rank_e)
     inv_idx[res_csr] = res_base + np.arange(len(res_csr), dtype=np.int64)
     if np.any(inv_idx < 0):
         missing = int(np.count_nonzero(inv_idx < 0))
@@ -943,6 +1012,9 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         res_csr=res_csr,
         hub_cols=H,
         hub_rows=hub_rows_arr, hub_rank=hub_rank_arr, hub_csr=hub_csr_arr,
+        rowslab_rows=rowslab_rows_arr,
+        rowslab_erows=rs_rows_e, rowslab_rank=rs_rank_e,
+        rowslab_csr=rs_csr_e,
         inv_idx=inv_idx,
         packed_rows=packed_rows,
         packed_cols=packed_cols,

@@ -134,9 +134,11 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     gflat = packed.group_csr.reshape(-1)
     hub_csr = (packed.hub_csr if packed.hub_csr is not None
                else np.zeros(0, dtype=np.int64))
+    rowslab_csr = (packed.rowslab_csr if packed.rowslab_csr is not None
+                   else np.zeros(0, dtype=np.int64))
     all_idx = np.concatenate(
         [sflat[sflat >= 0], qflat[qflat >= 0], pflat[pflat >= 0],
-         gflat[gflat >= 0], hub_csr, packed.res_csr])
+         gflat[gflat >= 0], hub_csr, rowslab_csr, packed.res_csr])
     assert len(all_idx) == csr.nnz, \
         f"packed nnz {len(all_idx)} != {csr.nnz}"
     assert len(np.unique(all_idx)) == len(all_idx), "csr index packed twice"
@@ -186,6 +188,29 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
         # every entry whose column ranks < H is a hub entry
         assert int(np.count_nonzero(rank[csr.col_idx] < H)) == \
             len(packed.hub_csr), "hub entry set incomplete"
+
+    # Hot-row slab consistency: every slab entry's row is in the hot
+    # set, its lane is its column rank minus the hub width, and the
+    # hot rows really are residual rows (their entries left the
+    # residual).
+    if packed.rowslab_rows is not None and len(rowslab_csr):
+        S = packed.rowslab_width
+        H = packed.hub_cols
+        rank = (bsmr.col_rank if bsmr.col_rank is not None
+                else np.arange(csr.n, dtype=np.int64))
+        assert np.array_equal(rows_of[packed.rowslab_csr],
+                              packed.rowslab_erows), "rowslab row mismatch"
+        assert np.array_equal(
+            rank[csr.col_idx[packed.rowslab_csr]] - H,
+            packed.rowslab_rank), "rowslab rank mismatch"
+        assert np.all((packed.rowslab_rank >= 0)
+                      & (packed.rowslab_rank < S)), "rowslab lane range"
+        hot_set = set(packed.rowslab_rows[packed.rowslab_rows
+                                          < csr.m].tolist())
+        assert set(packed.rowslab_erows.tolist()) <= hot_set, \
+            "rowslab entry in a non-hot row"
+        assert not (set(packed.res_rows.tolist()) & hot_set), \
+            "hot row still has residual entries"
 
     # Packed metadata consistency: real slots carry (row, col); padding
     # slots carry sentinels; csr_dest inverts inv_idx.

@@ -92,6 +92,40 @@ def test_from_params_passthrough():
     assert (np.diff(t.packed.res_gids) >= 0).all()
 
 
+def test_rowslab_moves_hot_residual_rows():
+    csr = generate.powerlaw_graph(1024, avg_degree=12, seed=3)
+    t = from_params(csr, 32, alpha=0.1, delta=0.05, hot_rows=64)
+    pk = t.packed
+    from sddmm_tpu.reorder.validate import check_pack
+    check_pack(csr, t.bsmr, pk)
+    assert pk.rowslab_nrows == 64
+    assert pk.rowslab_width == csr.n
+    # slab + residual partition the pre-slab residual; hot rows gone
+    # from the residual entirely
+    hot = set(pk.rowslab_rows[pk.rowslab_rows < csr.m].tolist())
+    assert not (set(pk.res_rows.tolist()) & hot)
+    a = generate.make_dense(csr.m, 32, seed=1)
+    b = generate.make_dense(32, csr.n, seed=2)
+    out = np.asarray(HybridSDDMM(pk)(a, b, order="csr"))
+    res = check_values(sddmm_reference(a, b, csr), out)
+    assert res.passed, res
+
+
+def test_rowslab_with_hub_and_grouping():
+    csr = generate.powerlaw_graph(1024, avg_degree=12, seed=5)
+    t = from_params(csr, 32, alpha=0.1, delta=0.05, group_size=2,
+                    hub_cols=128, hot_rows=32)
+    from sddmm_tpu.reorder.validate import check_pack
+    check_pack(csr, t.bsmr, t.packed)
+    assert (t.packed.rowslab_rank >= 0).all()
+    a = generate.make_dense(csr.m, 32, seed=1)
+    b = generate.make_dense(32, csr.n, seed=2)
+    runner = HybridSDDMM(t.packed)
+    out = np.asarray(runner(a, b, order="csr"))
+    res = check_values(sddmm_reference(a, b, csr), out)
+    assert res.passed, res
+
+
 def test_bad_sort_values_raise():
     csr = _csr()
     bsmr = BSMR(0.3, 0.05, csr)
