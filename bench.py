@@ -84,7 +84,7 @@ _CFG_KEYS = {"alpha": float, "delta": float, "g": int, "c": int,
              "merge": bool, "hub": int, "pallas": bool,
              "a_layout": str, "window_dp": bool, "dense": bool,
              "dtype": str, "sort_runs": str, "sort_res": str,
-             "b_cost_scale": float, "rowslab": int}
+             "b_cost_scale": float, "rowslab": int, "rowslab_pre": int}
 _CFG_DTYPES = ("float32", "tf32", "mixed", "float16", "bfloat16")
 
 
@@ -286,7 +286,8 @@ def main():
                 sort_runs=cfg.get("sort_runs", "cid"),
                 sort_res=cfg.get("sort_res", "csr"),
                 b_cost_scale=cfg.get("b_cost_scale", 1.0),
-                hot_rows=cfg.get("rowslab", 0))
+                hot_rows=cfg.get("rowslab_pre", 0) or cfg.get("rowslab", 0),
+                hot_rows_pre=bool(cfg.get("rowslab_pre", 0)))
             tuned.use_pallas = bool(cfg.get("pallas", False))
             tuned.a_layout = cfg.get("a_layout", "rows")
         elif cfg is None:

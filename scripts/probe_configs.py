@@ -26,7 +26,8 @@ import numpy as np
 def parse_spec(spec: str) -> dict:
     out = {"a": 0.3, "d": 0.05, "g": 1, "c": 1, "hub": 0, "pallas": 0,
            "dtype": "tf32", "merge": 1, "apanels": 0, "windowdp": 1,
-           "sort": "cid", "sortres": "csr", "bscale": 1.0, "rowslab": 0}
+           "sort": "cid", "sortres": "csr", "bscale": 1.0, "rowslab": 0,
+           "rowslabpre": 0}
     for kv in spec.split(","):
         k, v = kv.split("=")
         k = k.strip()
@@ -86,7 +87,8 @@ def main(argv=None) -> int:
                             window_dp=bool(sp["windowdp"]),
                             sort_runs=sp["sort"], sort_res=sp["sortres"],
                             b_cost_scale=sp["bscale"],
-                            hot_rows=sp["rowslab"])
+                            hot_rows=sp["rowslabpre"] or sp["rowslab"],
+                            hot_rows_pre=bool(sp["rowslabpre"]))
         pk = tuned.packed
         tag = (f"a={sp['a']} d={sp['d']} G={sp['g']} C={sp['c']} "
                f"H={sp['hub']}"
@@ -98,6 +100,8 @@ def main(argv=None) -> int:
                + (f" sortres={sp['sortres']}"
                   if sp["sortres"] != "csr" else "")
                + (f" rowslab={sp['rowslab']}" if sp["rowslab"] else "")
+               + (f" rowslabpre={sp['rowslabpre']}"
+                  if sp["rowslabpre"] else "")
                + (f" bscale={sp['bscale']}" if sp["bscale"] != 1.0 else "")
                + (f" {sp['dtype']}" if sp["dtype"] != "tf32" else ""))
         runner = HybridSDDMM(pk, compute_dtype=sp["dtype"],

@@ -31,6 +31,19 @@ fold() {
          --matrix "$matrix" --k "$k"
 }
 
+# --- 0. powerlaw hot-row slab sweep (k128): residual entries pay two
+#        descriptors each; the top-Zipf rows hold most of them, so a
+#        small slab should buy most of the win at little MXU cost ---
+run probe_r5rowslab_powerlaw.log python scripts/probe_configs.py \
+  --matrix powerlaw --k 128 --skip-check --configs "\
+a=0.1,d=0.05,hub=2048,apanels=1;\
+a=0.1,d=0.05,hub=2048,apanels=1,rowslabpre=1024;\
+a=0.1,d=0.05,hub=2048,apanels=1,rowslabpre=2048;\
+a=0.1,d=0.05,hub=2048,apanels=1,rowslabpre=4096;\
+a=0.1,d=0.05,hub=1024,apanels=1,rowslabpre=2048"
+fold probe_r5rowslab_powerlaw.log powerlaw 128
+git add results/ && git commit -q -m "Round-5 powerlaw hot-row slab sweep (k128)" || true
+
 # --- 1. K=256 lever probes ---
 run probe_r5levers_clustered16_k256.log python scripts/probe_configs.py \
   --matrix clustered16 --k 256 --skip-check --configs "\

@@ -53,6 +53,9 @@ def parse_tag(tag: str) -> dict:
     m = re.search(r" rowslab=(\d+)", tag)
     if m and int(m.group(1)):
         cfg["rowslab"] = int(m.group(1))
+    m = re.search(r" rowslabpre=(\d+)", tag)
+    if m and int(m.group(1)):
+        cfg["rowslab_pre"] = int(m.group(1))
     m = re.search(r" (float32|mixed|float16|bfloat16)$", tag)
     if m:
         cfg["dtype"] = m.group(1)

@@ -626,7 +626,8 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
                 sort_runs: str = "cid",
                 sort_res: str = "csr",
                 b_cost_scale: float = 1.0,
-                hot_rows: int = 0) -> TunedConfig:
+                hot_rows: int = 0,
+                hot_rows_pre: bool = False) -> TunedConfig:
     """Build a TunedConfig for an explicit (alpha, delta, G, C, merge)
     choice — the deterministic path bench.py uses with the committed
     per-matrix configs (results/tuned_configs.json), mirroring the
@@ -642,12 +643,37 @@ def from_params(csr: CSR, k: int, alpha: float, delta: float,
     elif base_order is not None:
         rank = np.empty(csr.n, dtype=np.int64)
         rank[base_order] = np.arange(csr.n)
-    bsmr = BSMR(alpha, delta, csr, method=method, group_size=group_size,
-                col_rank=rank, hub_cols=hub_cols)
+    hot_ids = None
+    cluster_csr = csr
+    if hot_rows > 0 and hot_rows_pre:
+        # Pre-tiling hot-row selection: the R rows with the largest
+        # NON-hub degree go to the dense hot-row slab, and their
+        # entries are removed from the clustering/carve input so no
+        # (mostly-empty) tiles get built around them — the power-law
+        # failure mode where the carve covers 650k scattered entries
+        # with 70M tile cells and 440k descriptors (round-5 probes).
+        from sddmm_tpu.data.sparse import COO
+        rows_all = csr.row_indices().astype(np.int64)
+        nonhub = (rank[csr.col_idx] >= hub_cols
+                  if (hub_cols > 0 and rank is not None)
+                  else np.ones(csr.nnz, dtype=bool))
+        deg = np.bincount(rows_all[nonhub], minlength=csr.m)
+        hot_ids = np.argsort(-deg, kind="stable")[:hot_rows]
+        hot_ids = np.sort(hot_ids[deg[hot_ids] > 0])
+        hot_mask = np.zeros(csr.m, dtype=bool)
+        hot_mask[hot_ids] = True
+        keep = ~hot_mask[rows_all]
+        cluster_csr = COO(csr.shape, rows_all[keep],
+                          csr.col_idx[keep].astype(np.int64),
+                          csr.values[keep]).to_csr()
+    bsmr = BSMR(alpha, delta, cluster_csr, method=method,
+                group_size=group_size, col_rank=rank, hub_cols=hub_cols)
     packed = pack(csr, bsmr, k_hint=k, merge_superpanels=merge_superpanels,
                   compute_dtype=compute_dtype, window_dp=window_dp,
                   sort_runs=sort_runs, sort_res=sort_res,
-                  b_cost_scale=b_cost_scale, hot_rows=hot_rows)
+                  b_cost_scale=b_cost_scale,
+                  hot_rows=0 if hot_ids is not None else hot_rows,
+                  hot_row_ids=hot_ids)
     return TunedConfig(alpha, delta, merge_superpanels, group_size,
                        k_chunks, estimate_ms(packed, k, compute_dtype,
                                              k_chunks), packed, bsmr,

@@ -296,6 +296,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
          sort_res: str = "csr",
          b_cost_scale: float = 1.0,
          hot_rows: int = 0,
+         hot_row_ids: np.ndarray = None,
          full_metadata: bool = True) -> PackedMatrix:
     """sort_runs: run order of containers within each (family, bucket)
     device segment — "cid" (panel/cluster order, historical default) or
@@ -321,6 +322,14 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     residual entries in those rows stop paying 2 gather descriptors
     each (their A row + their B group), the power-law residual's
     dominant cost.
+
+    hot_row_ids: EXPLICIT hot-row set (pre-tiling mode,
+    autotune.from_params hot_rows_pre): the caller selected these rows
+    before clustering/carving (typically by non-hub degree, with the
+    rows' entries removed from the BSMR input so the carve never
+    builds tiles around them).  Their unmatched non-hub entries go to
+    the slab; entries a container happens to cover stay in tiles
+    (exactly-once either way).  Overrides the count-based selection.
 
     b_cost_scale: multiplies the B-descriptor term of the carve cost
     model (the 128-lane gather per chunk).  >1 biases the DP toward
@@ -886,14 +895,18 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # Hot-row dense slab: pick the R rows carrying the most residual
     # entries; their residual entries move to the slab (slot =
     # hot_index * S + rank - H), everything else stays per-entry.
-    R_hot = int(hot_rows)
+    R_hot = (int(len(hot_row_ids)) if hot_row_ids is not None
+             else int(hot_rows))
     S_width = NG * G - H
     rowslab_rows_arr = None
     rs_rows_e = rs_rank_e = rs_csr_e = None
     if R_hot > 0:
-        counts = np.bincount(entry_rows[rest], minlength=m)
-        top = np.argsort(-counts, kind="stable")[:R_hot]
-        top = top[counts[top] > 0]
+        if hot_row_ids is not None:
+            top = np.asarray(hot_row_ids, dtype=np.int64)
+        else:
+            counts = np.bincount(entry_rows[rest], minlength=m)
+            top = np.argsort(-counts, kind="stable")[:R_hot]
+            top = top[counts[top] > 0]
         rowslab_rows_arr = np.full(R_hot, m, dtype=np.int64)
         rowslab_rows_arr[:len(top)] = np.sort(top)
         hot_index = np.full(m, -1, dtype=np.int64)
