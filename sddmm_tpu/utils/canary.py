@@ -36,10 +36,15 @@ import numpy as np
 # whenever the hardware or tunnel changes.
 CANARY_REF_MS = {"matmul": None, "gather": None}  # set below
 
-# calibrated 2026-08-19 (round 4), median of 3 uncontended sessions
-# (matmul sessions 1.254/0.326/0.261 — the tunnel swings ~20% minute
-# to minute, which is exactly why every session needs its own canary)
-CANARY_REF_MS = {"matmul": 0.326, "gather": 0.319}
+# Recalibrated 2026-08-20 (round 5): medians over the 7 round-5 queue
+# sessions (matmul 0.232-0.293, gather 0.260-0.313).  The round-4
+# reference (matmul 0.326, gather 0.319) came from a session whose
+# matmul samples spread 1.254/0.326/0.261 — its matmul value was ~25%
+# above the steady-state rate, so every later session read x0.69-0.90
+# and matmul-weighted normalization deflated healthy numbers (the
+# BENCH_r04 "canary explains clustered128" confusion).  Ratios against
+# THIS reference read ~1.0 on a typical day.
+CANARY_REF_MS = {"matmul": 0.266, "gather": 0.298}
 
 _MM_N = 2048           # matmul canary: (N, N) @ (N, N) fp32 HIGH
 _GA_SRC_ROWS = 16384   # gather canary source: (rows, 128) fp32 = 8 MB
