@@ -75,7 +75,19 @@ run recompute_roofline_r5.log python scripts/recompute_roofline.py \
   -o results/roofline_r5.json
 git add results/ && git commit -q -m "Round-5 roofline recompute (final configs)" || true
 
-# --- 5. relaunch the breadth suite (restart-safe) ---
+# --- 5. matched SuiteSparse clones: per-matrix named-reference bridge
+#        (VERDICT r4 missing #5); 12 clones, K=128, measured shootout ---
+[ -d /tmp/matched_clones ] || python scripts/make_matched_clones.py /tmp/matched_clones
+run matched_clones_run.log python scripts/run_baselines.py \
+  /tmp/matched_clones results/matched_clone_logs \
+  --ks 128 --tools csr bsmr --measure --merged-only --resume
+python scripts/matched_clone_report.py /tmp/matched_clones \
+  results/matched_clone_logs --k 128 -o results/matched_clones_r5.csv
+cp /tmp/matched_clones/manifest.json results/matched_clones_manifest.json
+git add results/ && git commit -q \
+  -m "Matched SuiteSparse clones: per-matrix reference-vs-framework table (12 named matrices, K=128)" || true
+
+# --- 6. relaunch the breadth suite (restart-safe) ---
 setsid bash scripts/hold_lock_run.sh suite bash scripts/r5_suite_rerun.sh \
   < /dev/null >> results/r5_suite_console.log 2>&1 &
 echo "r5 queue phase 3 done (suite relaunched)"
