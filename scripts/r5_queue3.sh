@@ -75,7 +75,21 @@ run recompute_roofline_r5.log python scripts/recompute_roofline.py \
   -o results/roofline_r5.json
 git add results/ && git commit -q -m "Round-5 roofline recompute (final configs)" || true
 
-# --- 5. matched SuiteSparse clones: per-matrix named-reference bridge
+# --- 5. breadth suite K=128 pass INLINE (the three-round-slipped
+#        VERDICT item; headline K first, committed even if truncated) ---
+[ -d /tmp/synth_suite ] || python scripts/make_synth_suite.py /tmp/synth_suite
+mkdir -p results/synth_suite_logs_r5
+timeout --foreground 12600 \
+  python scripts/run_baselines.py /tmp/synth_suite results/synth_suite_logs_r5 \
+  --ks 128 --tools csr bsmr --measure --merged-only --resume \
+  >> results/r5_suite_run.log 2>&1
+python scripts/analyze_results.py results/synth_suite_logs_r5 \
+  --k 128 --out results/synth_suite_logs_r5/results_128.csv \
+  >> results/r5_suite_run.log 2>&1 || true
+git add results/synth_suite_logs_r5 results/r5_suite_run.log \
+  && git commit -q -m "Round-5 breadth-suite shootout: K=128 logs/CSV (round-5 code)" || true
+
+# --- 6. matched SuiteSparse clones: per-matrix named-reference bridge
 #        (VERDICT r4 missing #5); 12 clones, K=128, measured shootout ---
 [ -d /tmp/matched_clones ] || python scripts/make_matched_clones.py /tmp/matched_clones
 run matched_clones_run.log python scripts/run_baselines.py \
@@ -87,7 +101,8 @@ cp /tmp/matched_clones/manifest.json results/matched_clones_manifest.json
 git add results/ && git commit -q \
   -m "Matched SuiteSparse clones: per-matrix reference-vs-framework table (12 named matrices, K=128)" || true
 
-# --- 6. relaunch the breadth suite (restart-safe) ---
+# --- 7. relaunch the breadth suite for the remaining Ks (restart-safe;
+#        K=128 cells are already logged so its pass is a fast no-op) ---
 setsid bash scripts/hold_lock_run.sh suite bash scripts/r5_suite_rerun.sh \
   < /dev/null >> results/r5_suite_console.log 2>&1 &
 echo "r5 queue phase 3 done (suite relaunched)"
