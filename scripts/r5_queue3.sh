@@ -36,6 +36,17 @@ a=0.1,d=0.05,hub=2048,apanels=1,rowslabpre=512;\
 a=0.1,d=0.05,hub=2048,apanels=1,rowslabpre=768"
 fold probe_r5rowslab_powerlaw_b.log powerlaw 128
 
+# --- 1b. retry: clustered16 k64 levers (first attempt hung in a stuck
+#         tunnel RPC and was killed; rc=143 in the phase-2 log) ---
+rm -f "$R/probe_r5levers_clustered16_k64.log"
+run probe_r5levers_clustered16_k64.log python scripts/probe_configs.py \
+  --matrix clustered16 --k 64 --skip-check --configs "\
+a=0.3,d=0.0,g=2,merge=0,apanels=1;\
+a=0.3,d=0.0,g=2,merge=0,apanels=1,bscale=2;\
+a=0.3,d=0.0,g=2,apanels=1,bscale=2;\
+a=0.3,d=0.0,g=2,apanels=1,sort=gid,bscale=2"
+fold probe_r5levers_clustered16_k64.log clustered16 64
+
 # --- 2. other Ks ---
 run probe_r5rowslab_powerlaw_k256.log python scripts/probe_configs.py \
   --matrix powerlaw --k 256 --skip-check --configs "\
