@@ -261,6 +261,9 @@ class TunedConfig:
     bsmr: Optional[BSMR]
     measured_ms: Optional[float] = None
     hub_cols: int = 0
+    # hot-row dense slab rows (pre-tiling selection, reorder/pack.py);
+    # the packed matrix embeds the slab, this records the knob
+    hot_rows: int = 0
     use_pallas: bool = False
     # "panels": A pre-relayouted to reordered panel-major order; one
     # 16-row descriptor per panel instead of 16 row descriptors
@@ -572,10 +575,38 @@ def autotune_multi(csr: CSR, ks: Sequence[int],
                         packs.append((alpha, g, delta, merge, hc, packed,
                                       copy.copy(bsmr)))
 
+    # Hot-row slab candidate (round 5): on matrices with skewed row
+    # degrees the carve otherwise covers the hot rows' scattered tail
+    # with nearly-empty tiles (measured 0.9% fill on the power-law
+    # bench matrix); one pre-tiling slab pack enters the shootout and
+    # measurement arbitrates.  Built once (K-independent).
+    rowslab_pack = None
+    deg = np.diff(csr.row_ptr)
+    R_slab = 1024
+    if csr.m > 2 * R_slab and csr.nnz:
+        share = float(np.sort(deg)[::-1][:R_slab].sum()) / csr.nnz
+        if share >= 0.3:
+            hc0 = max([h for h in hubs_all] or [0])
+            try:
+                t0 = from_params(
+                    csr, ks[0], alpha=alphas[0], delta=0.05,
+                    hub_cols=hc0, compute_dtype=compute_dtype,
+                    method=method, hot_rows=R_slab, hot_rows_pre=True)
+                rowslab_pack = (alphas[0], hc0, t0.packed, t0.bsmr)
+            except Exception as e:  # noqa: BLE001 — candidate only
+                import warnings as _w
+                _w.warn(f"rowslab candidate skipped: {e}")
+
     out = {}
     for k in ks:
         gs_k, cs_k = layouts[k]
         candidates: list[TunedConfig] = []
+        if rowslab_pack is not None:
+            a0, hc0, pk0, bs0 = rowslab_pack
+            candidates.append(TunedConfig(
+                a0, 0.05, True, 1, 1,
+                estimate_ms(pk0, k, compute_dtype, 1), pk0, bs0,
+                hub_cols=hc0, hot_rows=R_slab))
         for (alpha, g, delta, merge, hc, packed, bsmr) in packs:
             if g not in gs_k:
                 continue
@@ -714,7 +745,7 @@ def _shootout(csr, k, candidates, compute_dtype, measure_top,
     seen_alpha: set = set()
     for cand in candidates:
         cls = (cand.merge_superpanels, cand.group_size, cand.k_chunks,
-               cand.hub_cols, cand.dense)
+               cand.hub_cols, cand.hot_rows, cand.dense)
         take_it = (len(finalists) < measure_top or cls not in seen_cls
                    or cand.delta not in seen_delta
                    or cand.alpha not in seen_alpha)
