@@ -281,14 +281,13 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
         segments.append(acc_h.reshape(-1))
 
     # Hot-row dense slab (the hub's transpose, reorder/pack.py): the R
-    # hottest residual rows against the contiguous COLD-column slice of
-    # grouped B^T (ranks [H, NG*G)) — one gathered (R, K) A block, zero
-    # B descriptors.  rowslab_rows arrives perturbed by the timing
-    # harness, so the dot cannot be hoisted; the loop-invariant B slice
-    # hoisting is immaterial (a slice is free).
+    # hottest rows against the FULL grouped B^T (all NG group rows) —
+    # one gathered (R, K) A block, zero B descriptors.  rowslab_rows
+    # arrives perturbed by the timing harness, so the dot cannot be
+    # hoisted; the loop-invariant B slice hoisting is immaterial (a
+    # slice is free).
     if rowslab_rows is not None:
-        hg = h // g
-        sg = bt_phys.shape[1] - 1 - hg
+        sg = bt_phys.shape[1] - 1
         a_hot = jnp.take(a_pad, rowslab_rows, axis=0)   # (R, K)
         nR_hot = rowslab_rows.shape[0]
         dn_s = ((((1,), (1,)), ((), ())) if g == 1
@@ -296,7 +295,7 @@ def _hybrid_packed_jit(a_pad, bt_phys, super_rows, super_gids, quad_rows,
         acc_s = jnp.zeros((nR_hot, sg) if g == 1 else (nR_hot, sg, g),
                           jnp.float32)
         for c in range(C):
-            bslab = jax.lax.slice_in_dim(bt_phys[c], hg, hg + sg, axis=0)
+            bslab = jax.lax.slice_in_dim(bt_phys[c], 0, sg, axis=0)
             if g > 1:
                 bslab = bslab.reshape(sg, g, kc)
             a_c = jax.lax.slice_in_dim(a_hot, c * kc, (c + 1) * kc,

@@ -195,10 +195,34 @@ class _ShardPlan:
             fam_plan[fname] = (dev_runs, start_local)
 
         H = packed.hub_cols
+        # Hot-row slab partition: the (sentinel-padded) hot-row list is
+        # split contiguously into R even parts — slab compute per row is
+        # uniform (S cold columns each), so row count IS the balance
+        # weight.  Each device's hot rows are APPENDED to its local A
+        # copy after the sentinel block (prepare_operands), so the local
+        # kernel reads them with one static slice, zero descriptors.
+        self.rowslab_pad = 0
+        self.rowslab_width = packed.rowslab_width
+        self.rowslab_rows_local = None
+        hot_dev = hot_loc = None
+        if packed.rowslab_rows is not None:
+            hot = packed.rowslab_rows[packed.rowslab_rows < m] \
+                .astype(np.int64)
+            rs_max = max(-(-len(hot) // R), 1)
+            self.rowslab_pad = -(-rs_max // 16) * 16
+            tbl = np.full((R, self.rowslab_pad), m, dtype=np.int64)
+            hot_dev = np.full(m + 1, -1, dtype=np.int64)
+            hot_loc = np.zeros(m + 1, dtype=np.int64)
+            for d, part in enumerate(np.array_split(hot, R)):
+                tbl[d, :len(part)] = part
+                hot_dev[part] = d
+                hot_loc[part] = np.arange(len(part), dtype=np.int64)
+            self.rowslab_rows_local = tbl
         res_dev = np.where(res_panel >= 0, dev_of_unit[res_unit], 0)
         counts_r = np.bincount(res_dev, minlength=R)
         nR_max = max(int(counts_r.max()) if len(res_dev) else 0, 1)
         self.flat_local = (flat_cells + (self.rows_max * H if H else 0)
+                           + self.rowslab_pad * self.rowslab_width
                            + nR_max)
         csr_dest = np.full((R, self.flat_local), packed.nnz,
                            dtype=np.int32)
@@ -295,12 +319,30 @@ class _ShardPlan:
         if H:
             slab_dest = csr_dest[:, seg_off:seg_off + self.rows_max * H]
             hr = packed.hub_rows.astype(np.int64)
+            if len(hr) and not (panel_of_row[hr] >= 0).all():
+                raise ValueError(
+                    "hub entry in a panel-less row — only pre-tiling "
+                    "hot-slab rows may be panel-less, and the pack "
+                    "routes their hub columns to the full-width slab")
             hd = dev_of_unit[unit_of_panel[
                 np.maximum(panel_of_row[hr], 0)]]
             hs = local_of_row[hr]
             slab_dest[hd, hs * H + packed.hub_rank.astype(np.int64)] = \
                 packed.hub_csr.astype(np.int64)
             seg_off += self.rows_max * H
+
+        # Hot-row slab entries: slot = local_hot_index * S + (rank - H).
+        if self.rowslab_pad and packed.rowslab_csr is not None \
+                and len(packed.rowslab_csr):
+            S = self.rowslab_width
+            rs_dest = csr_dest[:, seg_off:seg_off
+                               + self.rowslab_pad * S]
+            er = packed.rowslab_erows.astype(np.int64)
+            rs_dest[hot_dev[er],
+                    hot_loc[er] * S
+                    + packed.rowslab_rank.astype(np.int64)] = \
+                packed.rowslab_csr.astype(np.int64)
+        seg_off += self.rowslab_pad * self.rowslab_width
 
         # residual per device (local row ids) — vectorized: stable-sort by
         # device, then each entry's slot is its rank within its device.
@@ -346,11 +388,6 @@ class DistributedHybridSDDMM:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.default_order = default_order
-        if packed.rowslab_rows is not None:
-            raise NotImplementedError(
-                "hot-row slab packings are single-chip only for now; "
-                "re-pack with hot_rows=0 for the distributed runner "
-                "(the slab would need per-device hot-row partitioning)")
         if a_layout not in ("rows", "panels"):
             raise ValueError(f"unknown a_layout {a_layout!r}")
         self.a_layout = a_layout
@@ -383,6 +420,21 @@ class DistributedHybridSDDMM:
         self._bt_sharding = NamedSharding(mesh, P("feat", None, None))
         self._out_sharding = NamedSharding(mesh, P("rows", None))
 
+    def _a_order_full(self) -> np.ndarray:
+        """(R, rows_max + n_sent [+ rowslab_pad]) GLOBAL row id per local
+        A slot: panel-local rows, then the zero-sentinel block (index m
+        — the padded A's zero row), then this device's hot-slab rows.
+        The sentinel block position is load-bearing: tile/residual
+        sentinels index rows_max, which must stay the first zero row."""
+        plan = self.plan
+        m = self.packed.m
+        n_sent = 16 if self.a_layout == "panels" else 1
+        parts = [np.where(plan.a_rows_local < m, plan.a_rows_local, m),
+                 np.full((plan.R, n_sent), m, dtype=np.int64)]
+        if plan.rowslab_pad:
+            parts.append(plan.rowslab_rows_local)
+        return np.concatenate(parts, axis=1).astype(np.int64)
+
     # -- operand preparation -------------------------------------------
     def prepare_operands(self, a, b=None, bt=None):
         """Build the sharded operands: per-device panel-local A
@@ -403,12 +455,8 @@ class DistributedHybridSDDMM:
         # whole 16-row sentinel PANEL so the local A reshapes directly
         # into (nP_loc+1, 16, K) with the sentinel panel last — the row
         # sentinel rows_max is its first row either way)
-        order = np.where(self.plan.a_rows_local < self.packed.m,
-                         self.plan.a_rows_local, self.packed.m)
-        n_sent = 16 if self.a_layout == "panels" else 1
-        a_sh = a_pad[order]                      # (R, rows_max, K)
-        a_sh = np.concatenate(
-            [a_sh, np.zeros((self.plan.R, n_sent, k), a.dtype)], axis=1)
+        order = self._a_order_full()
+        a_sh = a_pad[order]          # (R, rows_max + n_sent [+ slab], K)
         bt_pad = np.concatenate([bt, np.zeros((1, k), bt.dtype)])
         bt_phys = build_bt_phys(bt_pad, self.packed, self.k_chunks)
         return (jax.device_put(jnp.asarray(a_sh).astype(adt),
@@ -429,14 +477,10 @@ class DistributedHybridSDDMM:
         bt_pad = bt_pad.astype(bdt)
         plan = self.plan
         k = a_pad.shape[1]
-        order = np.where(plan.a_rows_local < self.packed.m,
-                         plan.a_rows_local, self.packed.m)
-        n_sent = 16 if self.a_layout == "panels" else 1
+        order = self._a_order_full()
         a_sh = jnp.take(a_pad, jnp.asarray(order.reshape(-1),
                                            dtype=jnp.int32), axis=0)
-        a_sh = a_sh.reshape(plan.R, plan.rows_max, k)
-        a_sh = jnp.concatenate(
-            [a_sh, jnp.zeros((plan.R, n_sent, k), a_sh.dtype)], axis=1)
+        a_sh = a_sh.reshape(plan.R, order.shape[1], k)
         a_sh = jax.lax.with_sharding_constraint(a_sh, self._a_sharding)
         p = self.packed
         col_order = np.where(p.col_order < p.n, p.col_order, p.n)
@@ -473,21 +517,29 @@ class DistributedHybridSDDMM:
 
         panels = self.a_layout == "panels"
 
+        rs_pad = plan.rowslab_pad
+        n_sent = 16 if panels else 1
+        G_ = self.packed.group_size
+
         def local_step(a_loc, bt_loc, s_rows, s_gids, q_rows, q_gids,
                        p_rows, p_gids, g_rows, g_gids, r_rows, r_gids,
                        r_member, s_pst=None, q_pst=None, p_pst=None,
                        g_pst=None):
-            a_dev = a_loc[0]
+            a_full = a_loc[0]
+            a_dev = a_full
             a_panels = None
             if panels:
                 # the local A is panel-blocked: a free reshape gives the
-                # panel-major layout, sentinel panel last (prepared with
-                # a 16-row sentinel pad).  The kernel's row view must
-                # stay (rows_max+1, K) — the hub slab sizes itself from
-                # a_pad.shape[0]-1.
-                k_ = a_dev.shape[1]
-                a_panels = a_dev.reshape(-1, 16, k_)
-                a_dev = jax.lax.slice_in_dim(a_dev, 0, plan.rows_max + 1,
+                # panel-major layout, sentinel panel after the real
+                # panels (prepared with a 16-row sentinel pad; hot-slab
+                # rows follow it and are never referenced by pst).
+                k_ = a_full.shape[1]
+                a_panels = a_full.reshape(-1, 16, k_)
+            if panels or rs_pad:
+                # the kernel's row view must stay (rows_max+1, K) — the
+                # hub slab sizes itself from a_pad.shape[0]-1, and the
+                # sentinel row must stay the first zero row
+                a_dev = jax.lax.slice_in_dim(a_full, 0, plan.rows_max + 1,
                                              axis=0)
             flat = _hybrid_packed_jit(
                 a_dev, bt_loc, s_rows[0], s_gids[0], q_rows[0],
@@ -505,6 +557,56 @@ class DistributedHybridSDDMM:
                 super_buckets=lb["super"], quad_buckets=lb["quad"],
                 pair_buckets=lb["pair"], group_buckets=lb["group"],
                 h=self.packed.hub_cols)
+            if rs_pad:
+                # hot-row slab: this device's hot rows live at local A
+                # slots [rows_max + n_sent, + rs_pad) — one static
+                # slice, zero descriptors; spliced between the hub-slab
+                # segment and the residual (the plan's flat layout)
+                from sddmm_tpu.ops.hybrid import (_PRECISION, _dot3,
+                                                  _split_bf16)
+                a_hot = jax.lax.slice_in_dim(
+                    a_full, plan.rows_max + n_sent,
+                    plan.rows_max + n_sent + rs_pad, axis=0)
+                kc_l = a_hot.shape[1] // bt_loc.shape[0]
+                sg = bt_loc.shape[1] - 1
+                dn = ((((1,), (1,)), ((), ())) if G_ == 1
+                      else (((1,), (2,)), ((), ())))
+
+                def slab_dot(a_c, bs):
+                    if compute_dtype == "float16":
+                        return _dot3(a_c, bs, dn)
+                    if compute_dtype == "mixed":
+                        ah, al = _split_bf16(a_c)
+
+                        def d(x):
+                            return jax.lax.dot_general(
+                                x, bs, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+
+                        h_, l_ = jax.lax.optimization_barrier(
+                            (d(ah), d(al)))
+                        return h_ + l_
+                    return jax.lax.dot_general(
+                        a_c, bs, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                        precision=_PRECISION[compute_dtype])
+
+                acc = jnp.zeros((rs_pad, sg) if G_ == 1
+                                else (rs_pad, sg, G_), jnp.float32)
+                for c in range(bt_loc.shape[0]):
+                    bs = jax.lax.slice_in_dim(bt_loc[c], 0, sg, axis=0)
+                    if G_ > 1:
+                        bs = bs.reshape(sg, G_, kc_l)
+                    a_c = jax.lax.slice_in_dim(a_hot, c * kc_l,
+                                               (c + 1) * kc_l, axis=1)
+                    acc = acc + slab_dot(a_c, bs)
+                nR_loc = r_rows.shape[1]
+                head = jax.lax.slice_in_dim(
+                    flat, 0, flat.shape[0] - nR_loc, axis=0)
+                tail = jax.lax.slice_in_dim(
+                    flat, flat.shape[0] - nR_loc, flat.shape[0], axis=0)
+                flat = jnp.concatenate([head, acc.reshape(-1), tail])
             return jax.lax.psum(flat, "feat")[None]
 
         spec2 = P("rows", None)

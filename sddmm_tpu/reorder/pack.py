@@ -200,16 +200,19 @@ class PackedMatrix:
     hub_rows: np.ndarray = None   # (nnz_hub,) original row ids
     hub_rank: np.ndarray = None   # (nnz_hub,) column rank = slab lane
     hub_csr: np.ndarray = None    # (nnz_hub,) CSR value index
-    # Hot-row dense slab (the hub's transpose): the R rows carrying the
-    # most residual entries are computed as ONE (R, K) x (K, S) MXU dot
-    # against the contiguous cold-column slice of the grouped B^T
-    # layout (ranks [H, NG*G)) — R gather descriptors total instead of
-    # 2 per entry.  The power-law regime's residual is exactly this
-    # shape (hot rows x cold cols; the hub catches hot COLS).  Slab
-    # slot of an entry is hot_index(row) * S + (rank - H).
+    # Hot-row dense slab (the hub's transpose): the R hottest rows are
+    # computed as ONE (R, K) x (K, S) MXU dot against the FULL grouped
+    # B^T layout (S = NG*G ranks) — R gather descriptors total instead
+    # of 2 per entry.  The power-law regime's tail is exactly this
+    # shape (hot rows x scattered cols; the hub catches hot COLS).
+    # Slab slot of an entry is hot_index(row) * S + rank.  In
+    # pre-tiling mode the hot rows' hub-column entries ALSO live here
+    # (the rows are panel-less, so the per-panel hub machinery of the
+    # distributed runner cannot hold them); rank < hub_cols slab cells
+    # duplicate hub-slab compute but every ENTRY has exactly one home.
     rowslab_rows: np.ndarray = None   # (R,) row ids (sentinel m)
     rowslab_erows: np.ndarray = None  # (nnz_rs,) original row ids
-    rowslab_rank: np.ndarray = None   # (nnz_rs,) rank - H = slab lane
+    rowslab_rank: np.ndarray = None   # (nnz_rs,) rank = slab lane
     rowslab_csr: np.ndarray = None    # (nnz_rs,) CSR value index
 
     @property
@@ -245,8 +248,8 @@ class PackedMatrix:
 
     @property
     def rowslab_width(self) -> int:
-        """S: cold-column rank-space width of the hot-row slab."""
-        return (self.num_col_groups * self.group_size - self.hub_cols
+        """S: full rank-space width of the hot-row slab."""
+        return (self.num_col_groups * self.group_size
                 if self.rowslab_rows is not None else 0)
 
     @property
@@ -596,6 +599,13 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # tiles (cols.py excludes hub groups from dense lists) or residual.
     hub_e = (entry_gid < H // G if H
              else np.zeros(csr.nnz, dtype=bool))
+    # Pre-selected hot rows own ALL their entries (hub columns
+    # included): the rows are panel-less, and the hot-row slab spans
+    # the full rank space exactly so they need no second home.
+    if hot_row_ids is not None and len(hot_row_ids) and H:
+        _hot_mask = np.zeros(m, dtype=bool)
+        _hot_mask[np.asarray(hot_row_ids, dtype=np.int64)] = True
+        hub_e = hub_e & ~_hot_mask[entry_rows]
     cont_e = np.where(panel_e >= 0, panel_container[panel_e], -1)
 
     _mark("coords")
@@ -897,7 +907,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
     # hot_index * S + rank - H), everything else stays per-entry.
     R_hot = (int(len(hot_row_ids)) if hot_row_ids is not None
              else int(hot_rows))
-    S_width = NG * G - H
+    S_width = NG * G
     rowslab_rows_arr = None
     rs_rows_e = rs_rank_e = rs_csr_e = None
     if R_hot > 0:
@@ -915,10 +925,7 @@ def pack(csr: CSR, bsmr: BSMR, k_hint: int = 0,
         in_slab = rest & (hot_index[entry_rows] >= 0)
         rest = rest & ~in_slab
         rs_rows_e = entry_rows[in_slab]
-        rs_rank_e = (entry_gid[in_slab] * G + entry_member[in_slab]
-                     - np.int64(H))
-        if np.any(rs_rank_e < 0):
-            raise AssertionError("hub entry leaked into the row slab")
+        rs_rank_e = entry_gid[in_slab] * G + entry_member[in_slab]
         rs_csr_e = entry_idx[in_slab]
 
     res_rows = entry_rows[rest]

@@ -185,9 +185,19 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
         assert np.array_equal(rank[csr.col_idx[packed.hub_csr]],
                               packed.hub_rank), "hub rank mismatch"
         assert np.all(packed.hub_rank < H), "hub rank >= hub_cols"
-        # every entry whose column ranks < H is a hub entry
-        assert int(np.count_nonzero(rank[csr.col_idx] < H)) == \
-            len(packed.hub_csr), "hub entry set incomplete"
+        # every entry whose column ranks < H is a hub entry — except
+        # entries of pre-selected hot-slab rows, which the full-width
+        # hot-row slab owns wholesale (panel-less rows cannot use the
+        # per-panel hub machinery of the distributed runner)
+        hub_all = rank[csr.col_idx] < H
+        expected = {int(np.count_nonzero(hub_all))}
+        if packed.rowslab_rows is not None:
+            # pre-tiling mode: hot-slab rows' hub-column entries belong
+            # to the slab; post-selection mode keeps them in the hub
+            hot_m = np.zeros(csr.m, dtype=bool)
+            hot_m[packed.rowslab_rows[packed.rowslab_rows < csr.m]] = True
+            expected.add(int(np.count_nonzero(hub_all & ~hot_m[rows_of])))
+        assert len(packed.hub_csr) in expected, "hub entry set incomplete"
 
     # Hot-row slab consistency: every slab entry's row is in the hot
     # set, its lane is its column rank minus the hub width, and the
@@ -195,13 +205,12 @@ def check_pack(csr: CSR, bsmr: BSMR, packed: PackedMatrix) -> None:
     # residual).
     if packed.rowslab_rows is not None and len(rowslab_csr):
         S = packed.rowslab_width
-        H = packed.hub_cols
         rank = (bsmr.col_rank if bsmr.col_rank is not None
                 else np.arange(csr.n, dtype=np.int64))
         assert np.array_equal(rows_of[packed.rowslab_csr],
                               packed.rowslab_erows), "rowslab row mismatch"
         assert np.array_equal(
-            rank[csr.col_idx[packed.rowslab_csr]] - H,
+            rank[csr.col_idx[packed.rowslab_csr]],
             packed.rowslab_rank), "rowslab rank mismatch"
         assert np.all((packed.rowslab_rank >= 0)
                       & (packed.rowslab_rank < S)), "rowslab lane range"
