@@ -315,3 +315,36 @@ def test_distributed_dense_k_divisibility_error():
                               b=generate.make_dense(18, csr.n, seed=2))
     # row padding: m not divisible by the rows axis still works
     assert dist.m_pad % 2 == 0 and dist.m_pad >= csr.m
+
+
+def test_distributed_rowslab_bit_equal_single_chip():
+    """Hot-row slab packings (pre and post selection, with and without
+    a hub) run distributed and match the single-chip kernel bit-for-bit
+    on every real packed slot (same float32 path and K-chunking)."""
+    from sddmm_tpu.ops.hybrid import HybridSDDMM
+    from sddmm_tpu.reorder.autotune import from_params
+
+    csr = generate.powerlaw_graph(1024, avg_degree=12, seed=7)
+    k = 32
+    a = generate.make_dense(csr.m, k, seed=1).astype(np.float32)
+    b = generate.make_dense(k, csr.n, seed=2).astype(np.float32)
+    golden = sddmm_reference(a, b, csr)
+    mesh = make_mesh((4, 2), ("rows", "feat"))
+    for hub, pre in ((128, True), (0, True), (128, False)):
+        t = from_params(csr, k, alpha=0.1, delta=0.05, hub_cols=hub,
+                        hot_rows=64, hot_rows_pre=pre)
+        pk = t.packed
+        single = HybridSDDMM(pk, compute_dtype="float32", k_chunks=2)
+        flat1 = np.asarray(single.run_padded(
+            *single.prepare_operands(a, b=b), order="packed"))
+        dist = DistributedHybridSDDMM(pk, mesh)
+        a_sh, bt_sh = dist.prepare_operands(a, b=b)
+        flat_sh = np.asarray(dist.run_padded(
+            a_sh, bt_sh, order="packed")).reshape(-1)
+        dest = np.asarray(dist.plan.csr_dest).reshape(-1)
+        real = dest < pk.nnz
+        assert (flat1[pk.inv_idx[dest[real]]].view(np.uint32)
+                == flat_sh[real].view(np.uint32)).all(), (hub, pre)
+        res = check_values(golden, np.asarray(
+            dist.run_padded(a_sh, bt_sh, order="csr")))
+        assert res.passed, (hub, pre, res)
