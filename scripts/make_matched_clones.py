@@ -55,6 +55,13 @@ RECIPES = {
     "TSOPF_FS_b162_c3": ("block", {"bs": 64}),
     "Zd_Jac2": ("block", {"bs": 32}),     # chemistry Jacobian
     "appu": ("uniform", {}),              # random-like benchmark
+    # batch 2 (round-5 window): larger + more families
+    "Ga3As3H12": ("block", {"bs": 32}),   # DFT chemistry, 3M nnz
+    "F2": ("block", {"bs": 16}),          # structural, 2.7M nnz
+    "G_n_pin_pout": ("uniform", {}),      # random graph benchmark
+    "ASIC_100ks": ("powerlaw", {}),       # circuit netlist, skewed
+    "LeGresley_87936": ("powerlaw", {}),  # power grid, hub buses
+    "Chevron2": ("banded", {}),           # seismic FEM mesh
 }
 
 
