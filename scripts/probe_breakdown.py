@@ -75,7 +75,10 @@ def main(argv=None) -> int:
             hub_cols=cfg.get("hub", 0), compute_dtype=args.compute_dtype,
             window_dp=cfg.get("window_dp", True),
             sort_runs=cfg.get("sort_runs", "cid"),
-            b_cost_scale=cfg.get("b_cost_scale", 1.0))
+            sort_res=cfg.get("sort_res", "csr"),
+            b_cost_scale=cfg.get("b_cost_scale", 1.0),
+            hot_rows=cfg.get("rowslab_pre", 0) or cfg.get("rowslab", 0),
+            hot_rows_pre=bool(cfg.get("rowslab_pre", 0)))
         use_pallas = bool(cfg.get("pallas", False))
         a_layout = cfg.get("a_layout", "rows")
     else:
